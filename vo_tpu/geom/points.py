@@ -34,7 +34,9 @@ def to_cartesian(points: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     return points[..., :-1] / w
 
 
-def normalize_points(points: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def normalize_points(
+    points: jnp.ndarray, weight: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hartley isotropic normalization.
 
     Shifts the centroid to the origin and scales so the mean radius is
@@ -42,17 +44,27 @@ def normalize_points(points: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     that `normalized_h = (T @ points_h^T)^T` for homogeneous points.
 
     Ref parity: helpers.py:31-54 — same invariants (zero mean, mean norm
-    sqrt(D), T consistency), batched over leading axes.
+    sqrt(D), T consistency), batched over leading axes. `weight` restricts
+    the statistics to weighted rows (fixed-capacity masked usage).
 
     Args:
       points: (..., N, D) cartesian points.
+      weight: optional (..., N) non-negative weights/mask.
     Returns:
       normalized: (..., N, D); T: (..., D+1, D+1).
     """
     d = points.shape[-1]
-    centroid = jnp.mean(points, axis=-2, keepdims=True)
-    centered = points - centroid
-    mean_dist = jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1)
+    if weight is None:
+        centroid = jnp.mean(points, axis=-2, keepdims=True)
+        centered = points - centroid
+        mean_dist = jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1)
+    else:
+        wsum = jnp.maximum(jnp.sum(weight, axis=-1, keepdims=True), 1e-12)
+        centroid = jnp.sum(points * weight[..., None], axis=-2, keepdims=True) / wsum[..., None]
+        centered = points - centroid
+        mean_dist = (
+            jnp.sum(jnp.linalg.norm(centered, axis=-1) * weight, axis=-1) / wsum[..., 0]
+        )
     scale = jnp.sqrt(jnp.asarray(d, points.dtype)) / jnp.maximum(
         mean_dist, jnp.finfo(points.dtype).tiny
     )
