@@ -1,0 +1,106 @@
+"""Harris / Shi-Tomasi corner detection with top-K non-maximum suppression.
+
+Capability parity with the reference's HarrisCornerDetector
+(src/vo/features/harris.py:86-158) and the Shi-Tomasi detection that feeds
+KLT (klt.py:98-110, cv2.goodFeaturesToTrack). TPU-first mechanics:
+
+  * response map = fused Sobel + structure-tensor box sum (XLA convs);
+  * NMS = reduce_window local-max equality (the greedy python argmax loop at
+    harris.py:148-152 becomes one max-pool + one top_k — same spacing
+    guarantee: two strict local maxima of a (2r+1) window are > r apart);
+  * selection = single lax.top_k over the flattened masked response,
+    returning a FIXED number of slots with a validity mask (no dynamic
+    shapes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from vo_tpu.ops.image import box_filter, sobel
+
+
+def structure_tensor(img: jnp.ndarray, patch_size: int = 9):
+    """(Sxx, Syy, Sxy) box-summed gradient products (harris.py:103-127)."""
+    gx, gy = sobel(img)
+    sxx = box_filter(gx * gx, patch_size)
+    syy = box_filter(gy * gy, patch_size)
+    sxy = box_filter(gx * gy, patch_size)
+    return sxx, syy, sxy
+
+
+def harris_response(img: jnp.ndarray, patch_size: int = 9, kappa: float = 0.08) -> jnp.ndarray:
+    """Harris corner response det(M) - kappa * trace(M)^2 (harris.py:122-127).
+    Negative responses are clamped to 0 like the reference (harris.py:127)."""
+    sxx, syy, sxy = structure_tensor(img, patch_size)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return jnp.maximum(det - kappa * tr * tr, 0.0)
+
+
+def shi_tomasi_response(img: jnp.ndarray, patch_size: int = 7) -> jnp.ndarray:
+    """Minimum-eigenvalue (Shi-Tomasi) response — the cv2.goodFeaturesToTrack
+    criterion used by the reference's KLT front-end (klt.py:24-26, 98)."""
+    sxx, syy, sxy = structure_tensor(img, patch_size)
+    half_tr = 0.5 * (sxx + syy)
+    rad = jnp.sqrt(jnp.maximum(0.25 * (sxx - syy) ** 2 + sxy * sxy, 0.0))
+    return jnp.maximum(half_tr - rad, 0.0)
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray  # (K, 2) float32 (x, y) pixel coordinates
+    score: jnp.ndarray  # (K,) response values
+    valid: jnp.ndarray  # (K,) bool
+
+
+def select_keypoints(
+    response: jnp.ndarray,
+    num_keypoints: int,
+    nms_radius: int = 5,
+    border: int = 0,
+    min_response: float = 0.0,
+    quality_level: float = 0.0,
+) -> Keypoints:
+    """Top-K local maxima of a response map, fixed output size.
+
+    Replaces the greedy argmax/zero-box loop of harris.py:148-152 with a
+    max-pool NMS + one top_k — fully batched, no data-dependent shapes.
+    `quality_level` mirrors cv2.goodFeaturesToTrack (fraction of the global
+    max below which responses are dropped; klt.py:25 uses 0.01).
+    """
+    h, w = response.shape
+    win = 2 * nms_radius + 1
+    pooled = lax.reduce_window(
+        response, -jnp.inf, lax.max, (win, win), (1, 1), "SAME"
+    )
+    # Tie-break equal maxima by flat index (second pooling pass), otherwise
+    # neighboring tied pixels would all pass the >= test and violate the
+    # NMS spacing guarantee. Flat indices stay exact in f32 up to 2^24.
+    idx_f = (
+        lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ).astype(jnp.float32)
+    tied_idx = jnp.where(response >= pooled, idx_f, -1.0)
+    pooled_idx = lax.reduce_window(
+        tied_idx, -jnp.inf, lax.max, (win, win), (1, 1), "SAME"
+    )
+    is_max = (response >= pooled) & (idx_f == pooled_idx) & (response > min_response)
+    if quality_level > 0.0:
+        is_max = is_max & (response > quality_level * response.max())
+    if border > 0:
+        mask = jnp.zeros_like(is_max).at[border:-border, border:-border].set(True)
+        is_max = is_max & mask
+    masked = jnp.where(is_max, response, -jnp.inf)
+    flat = masked.reshape(-1)
+    scores, idx = lax.top_k(flat, num_keypoints)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    valid = jnp.isfinite(scores) & (scores > min_response)
+    return Keypoints(
+        xy=jnp.stack([xs, ys], axis=-1),
+        score=jnp.where(valid, scores, 0.0),
+        valid=valid,
+    )
