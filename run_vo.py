@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""CLI driver for the TPU-native VO pipeline.
+
+The reference's driver is a module-constant-configured script with a live
+matplotlib GUI in the hot loop (src/main.py:27-47, 248-327). This driver is
+headless and typed: the device owns the per-frame step; the host decodes
+frames, collects poses/stats, and (optionally) writes overlay frames and a
+trajectory figure at the end.
+
+Examples:
+  python run_vo.py --dataset kitti --data-root /root/reference/tests/test_data \
+      --max-frames 6 --platform cpu
+  python run_vo.py --dataset parking --data-root ./data --platform tpu \
+      --viz-dir out/frames --trajectory-pdf out/full_trajectory.pdf
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[1])
+    p.add_argument("--dataset", choices=["kitti", "malaga", "parking"], default="kitti")
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--kitti-sequence", default="05")
+    p.add_argument("--increment", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=0, help="0 = all")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--capacity", type=int, default=1024)
+    p.add_argument("--detector", choices=["shi_tomasi", "harris"], default="shi_tomasi")
+    p.add_argument("--viz-dir", default="", help="write keypoint-overlay PNGs here")
+    p.add_argument("--trajectory-pdf", default="", help="write final trajectory figure")
+    p.add_argument("--save-npz", default="", help="save poses/stats to .npz")
+    p.add_argument("--profile-dir", default="", help="jax.profiler trace directory")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vo_tpu.data import Sequence, ate_rmse, rpe
+    from vo_tpu.data.evaluate import positions_from_poses
+    from vo_tpu.models.feature_table import STATE_TRIANGULATED
+    from vo_tpu.models.pipeline import bootstrap, vo_step
+    from vo_tpu.utils import viz
+    from vo_tpu.utils.config import DetectorConfig, VOConfig
+
+    seq = Sequence(
+        args.dataset,
+        path=args.data_root,
+        increment=args.increment,
+        kitti_sequence=args.kitti_sequence,
+    )
+    n_frames = len(seq) if args.max_frames <= 0 else min(args.max_frames, len(seq))
+    cfg = VOConfig(
+        capacity=args.capacity,
+        detector=DetectorConfig(method=args.detector),
+    )
+    K = jnp.asarray(seq.K)
+    gap = cfg.bootstrap.frame_gap
+    if n_frames <= gap:
+        print(f"need more than {gap} frames, got {n_frames}", file=sys.stderr)
+        return 2
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    print(f"[vo_tpu] {args.dataset}: {n_frames} frames, device={jax.devices()[0]}")
+    t_start = time.time()
+    state, out = bootstrap(
+        jnp.asarray(seq.get_frame(0)), jnp.asarray(seq.get_frame(gap)), K, cfg,
+        jax.random.PRNGKey(2023),
+    )
+    jax.block_until_ready(state)
+    t_boot = time.time() - t_start
+    print(
+        f"[vo_tpu] bootstrap(0,{gap}) in {t_boot:.1f}s: "
+        f"tracked={int(out.num_tracked)} landmarks={int(out.num_triangulated)} "
+        f"ok={bool(out.pose_ok)}"
+    )
+
+    frame_ids = [0, gap]
+    poses = [np.eye(4, dtype=np.float32), np.asarray(out.pose)]
+    stats = []
+    t_loop = time.time()
+    compile_time = 0.0
+    for i in range(gap + 1, n_frames):
+        img = jnp.asarray(seq.get_frame(i))
+        t0 = time.time()
+        state, out = vo_step(state, img, K, cfg)
+        jax.block_until_ready(out.pose)
+        dt = time.time() - t0
+        if i == gap + 1:
+            compile_time = dt
+        frame_ids.append(i)
+        poses.append(np.asarray(out.pose))
+        stats.append(
+            dict(frame=i, dt=dt, ok=bool(out.pose_ok),
+                 tracked=int(out.num_tracked), tri=int(out.num_triangulated),
+                 cand=int(out.num_candidates), inl=int(out.num_pnp_inliers),
+                 new=int(out.num_new_landmarks))
+        )
+        if not args.quiet:
+            print(f"[vo_tpu] frame {i:5d} {1.0/max(dt,1e-9):6.1f} fps  {viz.hud_text(out)}"
+                  + ("" if bool(out.pose_ok) else "  [POSE FALLBACK]"))
+        if args.viz_dir:
+            tab = state.table
+            rgb = viz.keypoint_overlay(
+                np.asarray(img), np.asarray(tab.xy), np.asarray(tab.state),
+                np.asarray(tab.track_xy),
+            )
+            os.makedirs(args.viz_dir, exist_ok=True)
+            import cv2
+
+            cv2.imwrite(os.path.join(args.viz_dir, f"{i:06d}.png"),
+                        cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+
+    steady = [s["dt"] for s in stats[1:]] or [compile_time]
+    wall = time.time() - t_loop
+    fps = len(steady) / max(sum(steady), 1e-9)
+    print(f"[vo_tpu] {len(stats)} steps in {wall:.1f}s "
+          f"(first-step compile {compile_time:.1f}s, steady-state {fps:.2f} fps)")
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    est = np.stack(poses)
+    result = {"fps_steady": fps, "frames": len(stats) + 2}
+    if seq.gt_poses is not None and len(seq.gt_poses) >= n_frames:
+        gt = seq.gt_poses[frame_ids]
+        ate = ate_rmse(positions_from_poses(est), positions_from_poses(gt))
+        t_rpe, r_rpe = rpe(est, gt)
+        result.update(ate_rmse_m=ate, rpe_trans_m=t_rpe, rpe_rot_rad=r_rpe)
+        print(f"[vo_tpu] ATE RMSE {ate:.4f} m | RPE {t_rpe:.4f} m / {r_rpe*57.3:.3f} deg")
+
+    if args.trajectory_pdf:
+        tab = state.table
+        lm = np.asarray(tab.landmark)[np.asarray(tab.state) == STATE_TRIANGULATED]
+        gtp = (positions_from_poses(seq.gt_poses[frame_ids])
+               if seq.gt_poses is not None and len(seq.gt_poses) >= n_frames else None)
+        viz.save_trajectory_plot(
+            args.trajectory_pdf, positions_from_poses(est), gtp, lm,
+            title=f"{args.dataset} ({len(frame_ids)} frames)",
+        )
+        print(f"[vo_tpu] wrote {args.trajectory_pdf}")
+
+    if args.save_npz:
+        os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)
+        np.savez(args.save_npz, poses=est, frame_ids=np.asarray(frame_ids),
+                 stats=json.dumps(stats))
+        print(f"[vo_tpu] wrote {args.save_npz}")
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

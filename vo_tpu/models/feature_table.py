@@ -1,0 +1,139 @@
+"""Fixed-capacity feature/landmark table — the TPU-native replacement for the
+reference's dynamically-resized Features/Matches object model.
+
+The reference stores per-keypoint arrays that grow and shrink every frame
+(features.py:239-265 mask(), klt.py:128-189 appends, matches.py:39-212
+in-place re-orderings). None of that survives contact with XLA's static
+shapes. Instead: a table of `capacity` SLOTS. A slot carries one track
+through its whole lifecycle; the lifecycle state machine is the reference's
+(features.py:41-43) with one extra value for empty slots:
+
+    -1 empty        (no track)
+     0 unmatched    (fresh detection, not yet tracked to a second frame)
+     1 matched      (tracked >= once; a triangulation CANDIDATE)
+     2 triangulated (carries a world landmark)
+
+Per-slot lanes mirror Features exactly: keypoint position, landmark,
+track-start pixel + track-start camera pose (features.py:47-52), uid
+(klt.py:69-81), detector score. All updates are masked `where`s; slot
+identity IS track identity, so the reference's Matches bookkeeping
+(carrying landmarks/tracks across frames, matches.py:113-212) happens for
+free.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+STATE_EMPTY = -1
+STATE_UNMATCHED = 0  # ref features.py:41 "unmatched"
+STATE_MATCHED = 1  # ref features.py:42 "matched" (candidate)
+STATE_TRIANGULATED = 2  # ref features.py:43 "triangulated"
+
+
+class FeatureTable(NamedTuple):
+    xy: jnp.ndarray  # (K, 2) f32 current keypoint position
+    landmark: jnp.ndarray  # (K, 3) f32 world landmark (state==2 only)
+    state: jnp.ndarray  # (K,) int32 lifecycle state
+    track_xy: jnp.ndarray  # (K, 2) f32 track-start pixel (ref features.py:47)
+    track_pose: jnp.ndarray  # (K, 16) f32 w_T_c at track start (ref :48-52)
+    uid: jnp.ndarray  # (K,) int32 stable track identity
+    score: jnp.ndarray  # (K,) f32 detector response at birth
+
+    # -- derived masks (ref features.py:89-97) ------------------------------
+    @property
+    def occupied(self) -> jnp.ndarray:
+        return self.state >= STATE_UNMATCHED
+
+    @property
+    def matched_candidates(self) -> jnp.ndarray:
+        """state == 1 (ref matched_candidate_inliers, features.py:89)."""
+        return self.state == STATE_MATCHED
+
+    @property
+    def match_inliers(self) -> jnp.ndarray:
+        """state >= 1 (ref match_inliers, features.py:93)."""
+        return self.state >= STATE_MATCHED
+
+    @property
+    def triangulated(self) -> jnp.ndarray:
+        """state >= 2 (ref triangulate_inliers, features.py:97)."""
+        return self.state >= STATE_TRIANGULATED
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+    def count(self, mask: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(mask.astype(jnp.int32))
+
+
+def empty_table(capacity: int) -> FeatureTable:
+    return FeatureTable(
+        xy=jnp.zeros((capacity, 2), jnp.float32),
+        landmark=jnp.zeros((capacity, 3), jnp.float32),
+        state=jnp.full((capacity,), STATE_EMPTY, jnp.int32),
+        track_xy=jnp.zeros((capacity, 2), jnp.float32),
+        track_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32).reshape(1, 16), (capacity, 1)),
+        uid=jnp.zeros((capacity,), jnp.int32),
+        score=jnp.zeros((capacity,), jnp.float32),
+    )
+
+
+def restart_tracks(
+    table: FeatureTable, mask: jnp.ndarray, pose_flat: jnp.ndarray
+) -> FeatureTable:
+    """Reset masked slots to fresh unmatched tracks starting at their current
+    position/pose. Ref parity: State.reset_outliers (state.py:162-172) —
+    state -> 0, track restarts at the current keypoint with the current
+    camera pose."""
+    m = mask[:, None]
+    return table._replace(
+        state=jnp.where(mask, STATE_UNMATCHED, table.state),
+        track_xy=jnp.where(m, table.xy, table.track_xy),
+        track_pose=jnp.where(m, pose_flat[None, :], table.track_pose),
+    )
+
+
+def fill_free_slots(
+    table: FeatureTable,
+    det_xy: jnp.ndarray,  # (C, 2) candidate detections (strongest first)
+    det_score: jnp.ndarray,  # (C,)
+    det_ok: jnp.ndarray,  # (C,) bool eligible (valid + far from live tracks)
+    pose_flat: jnp.ndarray,  # (16,) current w_T_c
+    next_uid: jnp.ndarray,  # () int32
+) -> tuple[FeatureTable, jnp.ndarray]:
+    """Scatter eligible detections into empty slots (rank-matching trick:
+    r-th eligible detection -> r-th free slot). Replaces the reference's
+    array-append re-detection path (klt.py:117-189) with a static-shape
+    scatter. Returns (table, new next_uid)."""
+    k = table.capacity
+    free = table.state == STATE_EMPTY
+    # Position of each free slot among free slots; stable order by index.
+    free_order = jnp.argsort(jnp.where(free, 0, 1), stable=True)  # free first
+    n_free = free.sum()
+    det_rank = jnp.cumsum(det_ok.astype(jnp.int32)) - 1  # rank per detection
+    use = det_ok & (det_rank < n_free)
+    target = free_order[jnp.clip(det_rank, 0, k - 1)]  # slot per detection
+    # Scatter: detections have unique targets (ranks are unique among used).
+    safe_target = jnp.where(use, target, k)  # k = dropped (out of bounds)
+    new_uid = next_uid + det_rank
+
+    xy = table.xy.at[safe_target].set(det_xy, mode="drop")
+    score = table.score.at[safe_target].set(det_score, mode="drop")
+    state = table.state.at[safe_target].set(STATE_UNMATCHED, mode="drop")
+    track_xy = table.track_xy.at[safe_target].set(det_xy, mode="drop")
+    track_pose = table.track_pose.at[safe_target].set(
+        jnp.broadcast_to(pose_flat, det_xy.shape[:1] + (16,)), mode="drop"
+    )
+    uid = table.uid.at[safe_target].set(new_uid, mode="drop")
+    n_added = use.sum()
+    return (
+        table._replace(
+            xy=xy, score=score, state=state, track_xy=track_xy,
+            track_pose=track_pose, uid=uid,
+        ),
+        next_uid + n_added,
+    )

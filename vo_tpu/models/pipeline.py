@@ -1,0 +1,317 @@
+"""The VO pipeline: two-view bootstrap + one pure, jitted per-frame step.
+
+Re-designs the reference's driver loop (src/main.py:168-327) and State
+machine (src/vo/primitives/state.py) as a single functional step
+`vo_step(state, image) -> (state, out)` over the fixed-capacity
+FeatureTable. Line-for-line capability parity:
+
+  bootstrap          main.py:204-243  (frames 0 and gap=2, 8-point RANSAC ->
+                                       E -> relative pose -> triangulation)
+  KLT track + cull   klt.py:191-278   (status/error filter on both frames)
+  P3P localization   main.py:254-259, p3p.py:123-213
+  outlier reset      state.py:162-172
+  cheirality cull    state.py:90-107  (_check_landmarks in prev & curr cam)
+  bearing-angle gate state.py:135-160 (compute_candidates)
+  candidate triang.  triangulation.py:38-86 (per-track-start P matrices)
+  re-detection       klt.py:98-116, 206-230 (here: continuous top-up of
+                                       free slots, masked min-dist check)
+
+Everything inside `vo_step` is static-shape; the only data-dependent
+branches are masked `where`s and one `lax.cond`-free pose fallback (a
+blend on the inlier-count guard).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.geom.lie import pose_inverse
+from vo_tpu.models.feature_table import (
+    STATE_EMPTY,
+    STATE_MATCHED,
+    STATE_TRIANGULATED,
+    STATE_UNMATCHED,
+    FeatureTable,
+    empty_table,
+    fill_free_slots,
+    restart_tracks,
+)
+from vo_tpu.ops.epipolar import (
+    essential_from_fundamental,
+    fundamental_ransac,
+    relative_pose_from_essential,
+)
+from vo_tpu.ops.harris import harris_response, select_keypoints, shi_tomasi_response
+from vo_tpu.ops.image import build_pyramid
+from vo_tpu.ops.klt import pyramidal_lk
+from vo_tpu.ops.pnp import pnp_ransac
+from vo_tpu.ops.triangulate import reprojection_error, triangulate_dlt
+from vo_tpu.utils.config import VOConfig
+
+
+class VOState(NamedTuple):
+    table: FeatureTable
+    pose: jnp.ndarray  # (4, 4) w_T_c of the current frame
+    prev_pose: jnp.ndarray  # (4, 4) w_T_c of the previous frame
+    pyramid: tuple  # prev-frame Gaussian pyramid (tuple of arrays)
+    frame_idx: jnp.ndarray  # () int32
+    next_uid: jnp.ndarray  # () int32
+    rng: jax.Array
+
+
+class StepOutput(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) w_T_c
+    pose_ok: jnp.ndarray  # () bool — PnP succeeded with enough inliers
+    num_tracked: jnp.ndarray
+    num_triangulated: jnp.ndarray
+    num_candidates: jnp.ndarray
+    num_pnp_inliers: jnp.ndarray
+    num_new_landmarks: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+def _detect(image: jnp.ndarray, cfg: VOConfig, num: int):
+    d = cfg.detector
+    if d.method == "harris":
+        resp = harris_response(image, d.patch_size, d.kappa)
+    else:
+        resp = shi_tomasi_response(image, d.patch_size)
+    return select_keypoints(
+        resp, num, nms_radius=d.nms_radius, border=d.border,
+        quality_level=d.quality_level,
+    )
+
+
+def _rays_world(pose: jnp.ndarray, Kinv: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Unit bearing rays of pixels, rotated into the world frame.
+    pose: (..., 4, 4) w_T_c; xy: (..., 2)."""
+    h = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+    r_cam = (Kinv @ h[..., None])[..., 0]
+    r_w = (pose[..., :3, :3] @ r_cam[..., None])[..., 0]
+    return r_w / jnp.maximum(jnp.linalg.norm(r_w, axis=-1, keepdims=True), 1e-20)
+
+
+def _proj_matrix(pose: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """P = K [R|t] with [R|t] = inv(pose), batched over leading dims."""
+    T_cw = pose_inverse(pose)
+    return K @ T_cw[..., :3, :4]
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap (ref main.py:204-243, triangulation.py:88-108)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bootstrap(
+    image0: jnp.ndarray,
+    image1: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: VOConfig,
+    rng: jax.Array,
+) -> tuple[VOState, StepOutput]:
+    """Initialize the map from two (non-adjacent) frames.
+
+    The world frame is camera 0. The translation scale is fixed to |t|=1
+    between the bootstrap pair — monocular VO is scale-free, exactly like
+    the reference (Report §2.2: unit-baseline convention).
+    """
+    kcap = cfg.capacity
+    rng, k_det, k_ransac = jax.random.split(rng, 3)
+    kps = _detect(image0, cfg, kcap)
+
+    pyr0 = build_pyramid(image0, cfg.klt.pyramid_levels)
+    pyr1 = build_pyramid(image1, cfg.klt.pyramid_levels)
+    tr = pyramidal_lk(
+        pyr0, pyr1, kps.xy,
+        radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
+        max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
+    )
+    tracked = kps.valid & tr.status
+
+    res = fundamental_ransac(
+        k_ransac, kps.xy, tr.xy, valid=tracked,
+        inlier_threshold_px=cfg.bootstrap.inlier_threshold_px,
+        num_hypotheses=cfg.bootstrap.num_hypotheses,
+    )
+    E = essential_from_fundamental(res.model, K, K)
+    rp = relative_pose_from_essential(E, kps.xy, tr.xy, K, K, weight=res.inliers)
+
+    pose0 = jnp.eye(4, dtype=jnp.float32)
+    pose1 = pose_inverse(rp.T_21)  # w_T_c1 (world = cam0)
+
+    depth1 = (rp.T_21[2, :3] @ rp.points1.T) + rp.T_21[2, 3]
+    good3d = (
+        res.inliers
+        & rp.good
+        & (rp.points1[:, 2] > cfg.triangulation.min_depth)
+        & (rp.points1[:, 2] < cfg.triangulation.max_depth)
+        & (depth1 > cfg.triangulation.min_depth)
+        & jnp.isfinite(rp.points1).all(axis=1)
+    )
+
+    table = empty_table(kcap)
+    state = jnp.where(
+        good3d,
+        STATE_TRIANGULATED,
+        jnp.where(tracked, STATE_MATCHED, STATE_EMPTY),
+    ).astype(jnp.int32)
+    table = table._replace(
+        xy=tr.xy,
+        landmark=jnp.where(good3d[:, None], rp.points1, 0.0),
+        state=state,
+        track_xy=kps.xy,  # tracks started at frame 0
+        track_pose=jnp.tile(pose0.reshape(1, 16), (kcap, 1)),
+        uid=jnp.arange(kcap, dtype=jnp.int32),
+        score=kps.score,
+    )
+
+    vo_state = VOState(
+        table=table,
+        pose=pose1,
+        prev_pose=pose0,
+        pyramid=tuple(pyr1),
+        frame_idx=jnp.asarray(cfg.bootstrap.frame_gap, jnp.int32),
+        next_uid=jnp.asarray(kcap, jnp.int32),
+        rng=rng,
+    )
+    n3 = good3d.sum()
+    out = StepOutput(
+        pose=pose1,
+        pose_ok=n3 >= cfg.bootstrap.min_inliers,
+        num_tracked=tracked.sum(),
+        num_triangulated=n3,
+        num_candidates=(state == STATE_MATCHED).sum(),
+        num_pnp_inliers=res.num_inliers,
+        num_new_landmarks=n3,
+    )
+    return vo_state, out
+
+
+# ---------------------------------------------------------------------------
+# Per-frame step (ref main.py:248-327)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vo_step(
+    state: VOState, image: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+) -> tuple[VOState, StepOutput]:
+    tcfg = cfg.triangulation
+    table = state.table
+    rng, k_pnp = jax.random.split(state.rng)
+    Kinv = jnp.linalg.inv(K)
+
+    # ---- 1. KLT track every occupied slot (ref klt.py:233-269) ----
+    pyr_new = tuple(build_pyramid(image, cfg.klt.pyramid_levels))
+    tr = pyramidal_lk(
+        list(state.pyramid), list(pyr_new), table.xy,
+        radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
+        max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
+    )
+    occupied = table.state >= STATE_UNMATCHED
+    tracked = occupied & tr.status
+    st = jnp.where(tracked, table.state, STATE_EMPTY)
+    # Fresh detections that survived one track become matched candidates
+    # (ref matches.py "newly matched" block semantics).
+    st = jnp.where(tracked & (st == STATE_UNMATCHED), STATE_MATCHED, st)
+    table = table._replace(xy=tr.xy, state=st)
+
+    # ---- 2. P3P localization on triangulated slots (main.py:254-259) ----
+    tri = table.state == STATE_TRIANGULATED
+    pnp = pnp_ransac(
+        k_pnp, table.landmark, table.xy, K, valid=tri,
+        inlier_threshold_px=cfg.pnp.inlier_threshold_px,
+        num_hypotheses=cfg.pnp.num_hypotheses,
+        refine_iters=cfg.pnp.refine_iters,
+    )
+    pose_ok = (pnp.num_inliers >= cfg.pnp.min_inliers) & jnp.isfinite(pnp.T_cw).all()
+    pose_pnp = pose_inverse(pnp.T_cw)  # update_with_world_pose (state.py:37-45)
+    # Fallback: constant-velocity model if PnP failed (the reference would
+    # assert-crash, p3p.py:153; we keep going and flag pose_ok=False).
+    rel = pose_inverse(state.prev_pose) @ state.pose
+    pose_cv = state.pose @ rel
+    pose = jnp.where(pose_ok, pose_pnp, pose_cv)
+    pose_flat = pose.reshape(16)
+    T_cw = pose_inverse(pose)
+
+    # ---- 3. Outlier reset (state.py:162-172) ----
+    outliers = tri & ~pnp.inliers & pose_ok
+    table = restart_tracks(table, outliers, pose_flat)
+
+    # ---- 4. Cheirality cull of surviving landmarks (state.py:90-107) ----
+    tri = table.state == STATE_TRIANGULATED
+    T_cw_prev = pose_inverse(state.pose)  # previous frame extrinsics
+    z_now = (T_cw[2, :3] * table.landmark).sum(-1) + T_cw[2, 3]
+    z_prev = (T_cw_prev[2, :3] * table.landmark).sum(-1) + T_cw_prev[2, 3]
+    behind = tri & ~((z_now > tcfg.min_depth) & (z_prev > tcfg.min_depth))
+    table = restart_tracks(table, behind, pose_flat)
+
+    # ---- 5. Bearing-angle candidate gate (state.py:135-160) ----
+    cand_mask = table.state == STATE_MATCHED
+    track_pose = table.track_pose.reshape(-1, 4, 4)
+    ray_start = _rays_world(track_pose, Kinv, table.track_xy)
+    ray_now = _rays_world(pose, Kinv, table.xy)
+    cos_ang = jnp.clip((ray_start * ray_now).sum(-1), -1.0, 1.0)
+    angle = jnp.arccos(cos_ang)
+    candidates = cand_mask & (angle >= tcfg.bearing_threshold)
+
+    # ---- 6. Triangulate candidates (triangulation.py:38-86) ----
+    P_start = _proj_matrix(track_pose, K)  # (K, 3, 4) per-track-start
+    P_now = _proj_matrix(pose, K)  # (3, 4)
+    X = triangulate_dlt(P_start, P_now, table.track_xy, table.xy)
+    z_start = (
+        pose_inverse(track_pose)[:, 2, :3] * X
+    ).sum(-1) + pose_inverse(track_pose)[:, 2, 3]
+    z_new = (T_cw[2, :3] * X).sum(-1) + T_cw[2, 3]
+    reproj_now = reprojection_error(P_now, X, table.xy)
+    reproj_start = reprojection_error(P_start, X, table.track_xy)
+    good_new = (
+        candidates
+        & jnp.isfinite(X).all(-1)
+        & (z_start > tcfg.min_depth)
+        & (z_new > tcfg.min_depth)
+        & (z_new < tcfg.max_depth)
+        & (reproj_now < tcfg.max_reproj_px)
+        & (reproj_start < tcfg.max_reproj_px)
+    )
+    table = table._replace(
+        landmark=jnp.where(good_new[:, None], X, table.landmark),
+        state=jnp.where(good_new, STATE_TRIANGULATED, table.state),
+    )
+
+    # ---- 7. Top-up detection into free slots (klt.py:98-116, 206-230) ----
+    det = _detect(image, cfg, cfg.capacity)
+    live = table.state >= STATE_UNMATCHED
+    d2 = jnp.sum((det.xy[:, None, :] - table.xy[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(live[None, :], d2, jnp.inf)
+    far = jnp.min(d2, axis=1) > cfg.detector.min_dist_to_live**2
+    det_ok = det.valid & far
+    table, next_uid = fill_free_slots(
+        table, det.xy, det.score, det_ok, pose_flat, state.next_uid
+    )
+
+    new_state = VOState(
+        table=table,
+        pose=pose,
+        prev_pose=state.pose,
+        pyramid=pyr_new,
+        frame_idx=state.frame_idx + 1,
+        next_uid=next_uid,
+        rng=rng,
+    )
+    out = StepOutput(
+        pose=pose,
+        pose_ok=pose_ok,
+        num_tracked=tracked.sum(),
+        num_triangulated=(table.state == STATE_TRIANGULATED).sum(),
+        num_candidates=candidates.sum(),
+        num_pnp_inliers=pnp.num_inliers,
+        num_new_landmarks=good_new.sum(),
+    )
+    return new_state, out

@@ -1,0 +1,86 @@
+"""Typed configuration tree.
+
+The reference configures itself through four module-level constants
+(main.py:44-47) plus constructor-kwarg sprawl across every class
+(harris.py:16-25, klt.py:23-39, triangulation.py:17-36, p3p.py:14-49,
+state.py:8, loader.py:23-31) — its report names RANSAC parameter
+sensitivity as a top pain point. Here every knob lives in one frozen
+(hashable) dataclass tree so a config can be a static jit argument, and the
+defaults reproduce the reference's operating point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Keypoint detection (ref: harris.py:16-34, klt.py:23-27)."""
+
+    method: str = "shi_tomasi"  # "shi_tomasi" | "harris"
+    patch_size: int = 7  # structure-tensor window (ref klt blockSize=7)
+    kappa: float = 0.08  # harris kappa (ref harris.py:19 uses 0.09/0.08)
+    nms_radius: int = 8  # ref klt minDistance=8 / harris nms_radius=5
+    border: int = 16
+    quality_level: float = 0.01  # ref klt.py:25
+    min_dist_to_live: float = 8.0  # suppression radius vs existing tracks
+
+
+@dataclasses.dataclass(frozen=True)
+class KLTConfig:
+    """Pyramidal LK (ref: klt.py:29-39)."""
+
+    pyramid_levels: int = 3  # maxLevel=2
+    radius: int = 8  # 17x17 window
+    max_iters: int = 10
+    eps: float = 0.03
+    max_err: float = 25.0
+    min_eig_threshold: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class BootstrapConfig:
+    """Two-view initialization (ref: main.py:185-193, 204-216)."""
+
+    frame_gap: int = 2  # bootstrap on frames 0 and 2 (main.py:207)
+    inlier_threshold_px: float = 1.0  # Sampson px (ref uses algebraic 0.25)
+    num_hypotheses: int = 512
+    min_inliers: int = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """RANSAC-P3P localization (ref: main.py:194-201, p3p.py:14-49)."""
+
+    inlier_threshold_px: float = 1.25
+    num_hypotheses: int = 256
+    refine_iters: int = 10
+    min_inliers: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class TriangulationConfig:
+    """Continuous candidate triangulation (ref: state.py:8, 90-160)."""
+
+    bearing_threshold: float = 0.0075  # rad (state.py:8)
+    min_depth: float = 0.5
+    max_depth: float = 200.0
+    max_reproj_px: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Top-level pipeline config. Hashable -> usable as a static jit arg."""
+
+    capacity: int = 1024  # fixed feature-table slots (ref num_keypoints=1000)
+    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    klt: KLTConfig = dataclasses.field(default_factory=KLTConfig)
+    bootstrap: BootstrapConfig = dataclasses.field(default_factory=BootstrapConfig)
+    pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
+    triangulation: TriangulationConfig = dataclasses.field(
+        default_factory=TriangulationConfig
+    )
+
+    def replace(self, **kw) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
