@@ -1,0 +1,85 @@
+"""Sharding tests on the 8-device virtual CPU mesh (the standard stand-in
+for TPU collectives — SURVEY §4)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.geom import se3_exp
+from vo_tpu.ops.pnp import refine_pose_gn
+from vo_tpu.parallel.dist_gn import distributed_refine_pose
+from vo_tpu.parallel.mesh import make_mesh
+from vo_tpu.parallel.multiseq import (
+    batched_vo_step,
+    replicate_state,
+    shard_batched_state,
+)
+
+K = np.array([[500.0, 0, 160], [0, 500, 120], [0, 0, 1]], np.float32)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_distributed_gn_matches_single_device(rng):
+    """psum-reduced normal equations == single-device GN to f32 accuracy."""
+    mesh = make_mesh(n_data=2, n_model=4)
+    n = 128
+    X = rng.uniform([-5, -3, 8], [5, 3, 30], (n, 3)).astype(np.float32)
+    xi = np.array([0.3, -0.1, 0.2, 0.05, -0.08, 0.1], np.float32)
+    T_true = np.asarray(se3_exp(jnp.asarray(xi)))
+    Xc = X @ T_true[:3, :3].T + T_true[:3, 3]
+    uv_h = Xc @ K.T
+    uv = (uv_h[:, :2] / uv_h[:, 2:]).astype(np.float32)
+    T0 = np.asarray(se3_exp(jnp.asarray(xi + rng.normal(0, 0.03, 6).astype(np.float32))))
+
+    w = jnp.ones(n, jnp.float32)
+    T_dist = np.asarray(
+        distributed_refine_pose(
+            mesh, jnp.asarray(T0), jnp.asarray(X), jnp.asarray(uv), w,
+            jnp.asarray(K), iters=8,
+        )
+    )
+    T_single = np.asarray(
+        refine_pose_gn(jnp.asarray(T0), jnp.asarray(X), jnp.asarray(uv),
+                       jnp.asarray(K), w, iters=8)
+    )
+    np.testing.assert_allclose(T_dist, T_true, atol=2e-3)
+    np.testing.assert_allclose(T_dist, T_single, atol=1e-3)
+
+
+def test_batched_vo_step_runs_sharded(rng):
+    """B independent sequences advance in lockstep over the data axis."""
+    from vo_tpu.utils.config import DetectorConfig, KLTConfig, VOConfig
+    import __graft_entry__ as graft
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = VOConfig(
+        capacity=64,
+        detector=DetectorConfig(border=8, nms_radius=4),
+        klt=KLTConfig(pyramid_levels=2, radius=4),
+    )
+    h, w = 64, 96
+    state = graft._example_state(cfg, jax.random.PRNGKey(0), h, w, jax.random.PRNGKey(1))
+    states = shard_batched_state(replicate_state(state, 8), mesh)
+    images = 127.0 + 40.0 * jax.random.normal(jax.random.PRNGKey(2), (8, h, w))
+    Ks = jnp.broadcast_to(jnp.asarray(K), (8, 3, 3))
+    new_states, outs = batched_vo_step(states, images, Ks, cfg)
+    assert outs.pose.shape == (8, 4, 4)
+    assert np.isfinite(np.asarray(outs.pose)).all()
+    # RNG streams differ per sequence -> detections differ across batch.
+    assert new_states.table.xy.shape == (8, 64, 2)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out_state, out = jax.jit(fn)(*args)
+    assert out.pose.shape == (4, 4)
+    graft.dryrun_multichip(8)

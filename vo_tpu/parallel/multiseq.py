@@ -1,0 +1,47 @@
+"""Data-parallel multi-sequence VO.
+
+The TPU-native form of throughput scaling for an inherently sequential
+problem (frame t+1 needs pose t — SURVEY §7 "hard parts"): run B
+independent sequences in lockstep, one jitted step over a batched VOState,
+sharded over the mesh "data" axis. Latency per sequence is unchanged;
+aggregate frames/s scales with chips. This is the multi-sequence eval mode
+BASELINE.json names ("Full KITTI 00-10 suite").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vo_tpu.models.pipeline import VOState, vo_step
+from vo_tpu.utils.config import VOConfig
+
+
+def replicate_state(state: VOState, batch: int) -> VOState:
+    """Tile a single-sequence VOState into a batched one (leading axis B)."""
+    tiled = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), state
+    )
+    # Independent RNG streams per sequence.
+    keys = jax.random.split(state.rng, batch)
+    return tiled._replace(rng=keys)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_vo_step(states: VOState, images: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig):
+    """vmapped per-frame step: states/images/K carry a leading batch axis."""
+    return jax.vmap(lambda s, i, k: vo_step(s, i, k, cfg))(states, images, K)
+
+
+def shard_batched_state(states: VOState, mesh: Mesh) -> VOState:
+    """Place a batched VOState so the batch axis lives on the mesh "data"
+    axis (XLA then runs each sequence's step on its own devices)."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, states)
