@@ -1,0 +1,75 @@
+"""End-to-end tests of the harris and sift tracker modes on the KITTI
+micro-dataset — parity with the reference's Tracker dispatch (tracker.py:17-63)
+where all three front-ends drive the same pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.data import Sequence, ate_rmse
+from vo_tpu.data.evaluate import positions_from_poses
+from vo_tpu.models.pipeline import bootstrap, vo_step
+from vo_tpu.utils.config import VOConfig
+
+DATA_ROOT = "/root/reference/tests/test_data"
+
+
+def _run_mode(tracker: str, capacity: int = 512):
+    seq = Sequence("kitti", path=DATA_ROOT, kitti_sequence="05")
+    cfg = VOConfig(capacity=capacity, tracker=tracker)
+    K = jnp.asarray(seq.K)
+    imgs = [jnp.asarray(seq.get_frame(i)) for i in range(len(seq))]
+    state, out0 = bootstrap(imgs[0], imgs[2], K, cfg, jax.random.PRNGKey(0))
+    poses = {0: np.eye(4, dtype=np.float32), 2: np.asarray(state.pose)}
+    outs = {2: out0}
+    for i in range(3, len(imgs)):
+        state, out = vo_step(state, imgs[i], K, cfg)
+        poses[i] = np.asarray(out.pose)
+        outs[i] = out
+    return seq, poses, outs, state
+
+
+@pytest.fixture(scope="module")
+def harris_run():
+    return _run_mode("harris")
+
+
+@pytest.fixture(scope="module")
+def sift_run():
+    return _run_mode("sift")
+
+
+@pytest.mark.parametrize("fix", ["harris_run", "sift_run"])
+def test_mode_bootstrap_and_localization(fix, request):
+    _, _, outs, _ = request.getfixturevalue(fix)
+    assert bool(outs[2].pose_ok), "bootstrap failed"
+    assert int(outs[2].num_triangulated) > 50
+    for i in range(3, 6):
+        assert bool(outs[i].pose_ok), f"frame {i} lost"
+        assert int(outs[i].num_pnp_inliers) > 20
+
+
+@pytest.mark.parametrize("fix", ["harris_run", "sift_run"])
+def test_mode_ate(fix, request):
+    seq, poses, _, _ = request.getfixturevalue(fix)
+    idx = sorted(poses)
+    est = np.stack([poses[i] for i in idx])
+    gt = seq.gt_poses[idx]
+    ate = ate_rmse(positions_from_poses(est), positions_from_poses(gt))
+    # Descriptor matching is coarser than sub-pixel LK (integer keypoint
+    # grid) — decimeter-level over ~2.8 m of motion is the right bar.
+    assert ate < 0.15, f"ATE {ate:.3f} m"
+
+
+@pytest.mark.parametrize("fix", ["harris_run", "sift_run"])
+def test_mode_tracks_carry_descriptors(fix, request):
+    _, _, _, state = request.getfixturevalue(fix)
+    st = np.asarray(state.table.state)
+    desc = np.asarray(state.table.desc)
+    live = st >= 0
+    assert live.sum() > 50
+    # Live slots must carry non-degenerate descriptors.
+    norms = np.linalg.norm(desc[live], axis=-1)
+    assert (norms > 1e-6).mean() > 0.9

@@ -41,6 +41,8 @@ class FeatureTable(NamedTuple):
     track_pose: jnp.ndarray  # (K, 16) f32 w_T_c at track start (ref :48-52)
     uid: jnp.ndarray  # (K,) int32 stable track identity
     score: jnp.ndarray  # (K,) f32 detector response at birth
+    desc: jnp.ndarray  # (K, D) f32 descriptor of the last match (D=1: unused)
+    sigma: jnp.ndarray  # (K,) f32 detection scale (SIFT); 0 = base scale
 
     # -- derived masks (ref features.py:89-97) ------------------------------
     @property
@@ -70,7 +72,7 @@ class FeatureTable(NamedTuple):
         return jnp.sum(mask.astype(jnp.int32))
 
 
-def empty_table(capacity: int) -> FeatureTable:
+def empty_table(capacity: int, desc_dim: int = 1) -> FeatureTable:
     return FeatureTable(
         xy=jnp.zeros((capacity, 2), jnp.float32),
         landmark=jnp.zeros((capacity, 3), jnp.float32),
@@ -79,6 +81,8 @@ def empty_table(capacity: int) -> FeatureTable:
         track_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32).reshape(1, 16), (capacity, 1)),
         uid=jnp.zeros((capacity,), jnp.int32),
         score=jnp.zeros((capacity,), jnp.float32),
+        desc=jnp.zeros((capacity, desc_dim), jnp.float32),
+        sigma=jnp.zeros((capacity,), jnp.float32),
     )
 
 
@@ -104,6 +108,8 @@ def fill_free_slots(
     det_ok: jnp.ndarray,  # (C,) bool eligible (valid + far from live tracks)
     pose_flat: jnp.ndarray,  # (16,) current w_T_c
     next_uid: jnp.ndarray,  # () int32
+    det_desc: jnp.ndarray | None = None,  # (C, D) descriptors at detection
+    det_sigma: jnp.ndarray | None = None,  # (C,) detection scales
 ) -> tuple[FeatureTable, jnp.ndarray]:
     """Scatter eligible detections into empty slots (rank-matching trick:
     r-th eligible detection -> r-th free slot). Replaces the reference's
@@ -129,11 +135,18 @@ def fill_free_slots(
         jnp.broadcast_to(pose_flat, det_xy.shape[:1] + (16,)), mode="drop"
     )
     uid = table.uid.at[safe_target].set(new_uid, mode="drop")
+    desc = table.desc
+    if det_desc is not None:
+        desc = desc.at[safe_target].set(det_desc, mode="drop")
+    sigma = table.sigma.at[safe_target].set(
+        det_sigma if det_sigma is not None else jnp.zeros_like(det_score),
+        mode="drop",
+    )
     n_added = use.sum()
     return (
         table._replace(
             xy=xy, score=score, state=state, track_xy=track_xy,
-            track_pose=track_pose, uid=uid,
+            track_pose=track_pose, uid=uid, desc=desc, sigma=sigma,
         ),
         next_uid + n_added,
     )

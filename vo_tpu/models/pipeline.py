@@ -45,9 +45,11 @@ from vo_tpu.ops.epipolar import (
     fundamental_ransac,
     relative_pose_from_essential,
 )
+from vo_tpu.ops.descriptors import extract_patches, match_descriptors
 from vo_tpu.ops.harris import harris_response, select_keypoints, shi_tomasi_response
 from vo_tpu.ops.image import build_pyramid
-from vo_tpu.ops.klt import pyramidal_lk
+from vo_tpu.ops.klt import TrackResult, pyramidal_lk
+from vo_tpu.ops.sift import sift_describe, sift_detect
 from vo_tpu.ops.pnp import pnp_ransac
 from vo_tpu.ops.triangulate import reprojection_error, triangulate_dlt
 from vo_tpu.utils.config import VOConfig
@@ -79,7 +81,7 @@ class StepOutput(NamedTuple):
 
 def _detect(image: jnp.ndarray, cfg: VOConfig, num: int):
     d = cfg.detector
-    if d.method == "harris":
+    if d.method == "harris" or cfg.tracker == "harris":
         resp = harris_response(image, d.patch_size, d.kappa)
     else:
         resp = shi_tomasi_response(image, d.patch_size)
@@ -87,6 +89,71 @@ def _detect(image: jnp.ndarray, cfg: VOConfig, num: int):
         resp, num, nms_radius=d.nms_radius, border=d.border,
         quality_level=d.quality_level,
     )
+
+
+class Detections(NamedTuple):
+    """Fixed-size per-frame detections with mode-specific descriptors."""
+
+    xy: jnp.ndarray  # (C, 2)
+    score: jnp.ndarray  # (C,)
+    valid: jnp.ndarray  # (C,)
+    sigma: jnp.ndarray  # (C,) detection scale (sift) or 0
+    desc: jnp.ndarray  # (C, D) descriptors (D=1 dummy for klt)
+
+
+def _detect_mode(image: jnp.ndarray, cfg: VOConfig) -> Detections:
+    """Detect + describe with the configured front-end (ref tracker.py:43-63
+    dispatch: klt->Shi-Tomasi, harris->Harris+patches, sift->DoG+SIFT)."""
+    c = cfg.capacity
+    if cfg.tracker == "sift":
+        s = cfg.sift
+        kp = sift_detect(
+            image, c, s.num_octaves, s.scales_per_octave,
+            s.contrast_threshold, s.edge_ratio, border=cfg.detector.border,
+        )
+        desc = sift_describe(image, kp.xy, kp.sigma, s.num_octaves, s.scales_per_octave)
+        return Detections(kp.xy, kp.score, kp.valid, kp.sigma, desc)
+    det = _detect(image, cfg, c)
+    zeros = jnp.zeros((c,), jnp.float32)
+    if cfg.tracker == "harris":
+        desc = extract_patches(image, det.xy, cfg.descriptor.radius, normalize=True)
+        return Detections(det.xy, det.score, det.valid, zeros, desc)
+    return Detections(det.xy, det.score, det.valid, zeros, jnp.zeros((c, 1), jnp.float32))
+
+
+def _mode_match_params(cfg: VOConfig) -> tuple[float, float]:
+    if cfg.tracker == "sift":
+        return cfg.sift.ratio, cfg.sift.max_move_px
+    return cfg.descriptor.ratio, cfg.descriptor.max_move_px
+
+
+def _match_track(
+    slot_desc: jnp.ndarray,  # (K, D) descriptors of live slots
+    slot_xy: jnp.ndarray,  # (K, 2) current slot positions
+    slot_live: jnp.ndarray,  # (K,) bool
+    det: Detections,
+    ratio: float,
+    max_move_px: float,
+):
+    """Frame-to-frame descriptor matching as a tracker (ref harris.py:50-84,
+    sift.py:23-53 + the Matches identity carry-over, matches.py:113-212).
+
+    Returns (TrackResult, match_idx (K,), used (C,) detections consumed)."""
+    m = match_descriptors(
+        slot_desc, det.desc, valid1=slot_live, valid2=det.valid, ratio=ratio
+    )
+    c = det.xy.shape[0]
+    safe = jnp.clip(m.idx, 0, c - 1)
+    new_xy = det.xy[safe]
+    move_ok = jnp.sum((new_xy - slot_xy) ** 2, axis=-1) <= max_move_px**2
+    status = m.valid & move_ok
+    used = jnp.zeros((c,), bool).at[safe].max(status)
+    tr = TrackResult(
+        xy=jnp.where(status[:, None], new_xy, slot_xy),
+        status=status,
+        err=jnp.where(status, m.dist, jnp.inf),
+    )
+    return tr, safe, used
 
 
 def _rays_world(pose: jnp.ndarray, Kinv: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -124,15 +191,26 @@ def bootstrap(
     """
     kcap = cfg.capacity
     rng, k_det, k_ransac = jax.random.split(rng, 3)
-    kps = _detect(image0, cfg, kcap)
+    kps = _detect_mode(image0, cfg)
 
-    pyr0 = build_pyramid(image0, cfg.klt.pyramid_levels)
-    pyr1 = build_pyramid(image1, cfg.klt.pyramid_levels)
-    tr = pyramidal_lk(
-        pyr0, pyr1, kps.xy,
-        radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
-        max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
-    )
+    if cfg.tracker == "klt":
+        pyr0 = build_pyramid(image0, cfg.klt.pyramid_levels)
+        pyr1 = tuple(build_pyramid(image1, cfg.klt.pyramid_levels))
+        tr = pyramidal_lk(
+            pyr0, list(pyr1), kps.xy,
+            radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
+            max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
+        )
+        desc1, sigma1 = kps.desc, kps.sigma
+    else:
+        pyr1 = (image1,)
+        det1 = _detect_mode(image1, cfg)
+        ratio, max_move = _mode_match_params(cfg)
+        tr, midx, _ = _match_track(
+            kps.desc, kps.xy, kps.valid, det1, ratio, max_move
+        )
+        desc1 = jnp.where(tr.status[:, None], det1.desc[midx], kps.desc)
+        sigma1 = jnp.where(tr.status, det1.sigma[midx], kps.sigma)
     tracked = kps.valid & tr.status
 
     res = fundamental_ransac(
@@ -156,7 +234,7 @@ def bootstrap(
         & jnp.isfinite(rp.points1).all(axis=1)
     )
 
-    table = empty_table(kcap)
+    table = empty_table(kcap, cfg.desc_dim)
     state = jnp.where(
         good3d,
         STATE_TRIANGULATED,
@@ -170,6 +248,8 @@ def bootstrap(
         track_pose=jnp.tile(pose0.reshape(1, 16), (kcap, 1)),
         uid=jnp.arange(kcap, dtype=jnp.int32),
         score=kps.score,
+        desc=desc1,
+        sigma=sigma1,
     )
 
     vo_state = VOState(
@@ -199,6 +279,24 @@ def bootstrap(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",))
+def vo_rollout(
+    state: VOState, images: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
+) -> tuple[VOState, StepOutput]:
+    """Run `vo_step` over a stacked (N, H, W) frame chunk with lax.scan.
+
+    One device program for N frames: the whole sequential loop lives on
+    device, so the host pays one launch + one fetch per chunk instead of per
+    frame (the reference's python for-loop, main.py:248, becomes a scan).
+    Returns the final state and per-frame stacked StepOutputs.
+    """
+
+    def body(st, img):
+        return vo_step(st, img, K, cfg)
+
+    return jax.lax.scan(body, state, images)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def vo_step(
     state: VOState, image: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig
 ) -> tuple[VOState, StepOutput]:
@@ -207,20 +305,39 @@ def vo_step(
     rng, k_pnp = jax.random.split(state.rng)
     Kinv = jnp.linalg.inv(K)
 
-    # ---- 1. KLT track every occupied slot (ref klt.py:233-269) ----
-    pyr_new = tuple(build_pyramid(image, cfg.klt.pyramid_levels))
-    tr = pyramidal_lk(
-        list(state.pyramid), list(pyr_new), table.xy,
-        radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
-        max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
-    )
+    # ---- 1. Track every occupied slot with the configured front-end ----
+    # klt: pyramidal LK (ref klt.py:233-269); harris/sift: frame-to-frame
+    # descriptor matching (ref harris.py:50-84, sift.py:23-53).
     occupied = table.state >= STATE_UNMATCHED
+    if cfg.tracker == "klt":
+        pyr_new = tuple(build_pyramid(image, cfg.klt.pyramid_levels))
+        tr = pyramidal_lk(
+            list(state.pyramid), list(pyr_new), table.xy,
+            radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
+            max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
+        )
+        det = None
+        used = jnp.zeros((cfg.capacity,), bool)
+    else:
+        pyr_new = (image,)
+        det = _detect_mode(image, cfg)
+        ratio, max_move = _mode_match_params(cfg)
+        tr, midx, used = _match_track(
+            table.desc, table.xy, occupied, det, ratio, max_move
+        )
     tracked = occupied & tr.status
     st = jnp.where(tracked, table.state, STATE_EMPTY)
     # Fresh detections that survived one track become matched candidates
     # (ref matches.py "newly matched" block semantics).
     st = jnp.where(tracked & (st == STATE_UNMATCHED), STATE_MATCHED, st)
     table = table._replace(xy=tr.xy, state=st)
+    if det is not None:
+        # Carry the latest matched descriptor/scale on each slot (equivalent
+        # to the reference re-extracting prev-frame descriptors each call).
+        table = table._replace(
+            desc=jnp.where(tracked[:, None], det.desc[midx], table.desc),
+            sigma=jnp.where(tracked, det.sigma[midx], table.sigma),
+        )
 
     # ---- 2. P3P localization on triangulated slots (main.py:254-259) ----
     tri = table.state == STATE_TRIANGULATED
@@ -286,14 +403,16 @@ def vo_step(
     )
 
     # ---- 7. Top-up detection into free slots (klt.py:98-116, 206-230) ----
-    det = _detect(image, cfg, cfg.capacity)
+    if det is None:
+        det = _detect_mode(image, cfg)
     live = table.state >= STATE_UNMATCHED
     d2 = jnp.sum((det.xy[:, None, :] - table.xy[None, :, :]) ** 2, axis=-1)
     d2 = jnp.where(live[None, :], d2, jnp.inf)
     far = jnp.min(d2, axis=1) > cfg.detector.min_dist_to_live**2
-    det_ok = det.valid & far
+    det_ok = det.valid & far & ~used
     table, next_uid = fill_free_slots(
-        table, det.xy, det.score, det_ok, pose_flat, state.next_uid
+        table, det.xy, det.score, det_ok, pose_flat, state.next_uid,
+        det_desc=det.desc, det_sigma=det.sigma,
     )
 
     new_state = VOState(

@@ -3,11 +3,25 @@
 Capability parity with the reference's KLT front-end
 (src/vo/features/klt.py:233-239, cv2.calcOpticalFlowPyrLK with win 17x17,
 maxLevel 2, 10 iterations / eps 0.03, error threshold 100 — klt.py:29-39).
-TPU-first mechanics: one vmapped Bouguet-style solver — per level the 2x2
-structure matrix comes from the template window, the iteration is a
-lax.fori_loop with static bounds, and all K keypoints advance in lockstep as
-(K, W, W) gather/arith batches. No per-point python loops, no dynamic
-shapes; invalid tracks are reported through a status mask.
+
+TPU-first mechanics (v3, matmul-resident): random gathers are the enemy on
+TPU. Each keypoint performs ONE contiguous patch load per pyramid level
+(vmapped `lax.dynamic_slice` = a block gather); after that, every bilinear
+window resample — template setup and all solver iterations — is two small
+batched matmuls with tent-function selection matrices:
+
+    window = W_y(p) @ patch @ W_x(p)^T,   W[i, j] = max(0, 1 - |j - (p+i)|)
+
+The tent weights ARE exact bilinear interpolation, the matmuls land on the
+MXU, and the iteration contains no gathers or dynamic slices at all. The
+2x2 normal system uses the template gradients (Bouguet), so its inverse is
+computed once per level and reused across iterations.
+
+The one semantic difference vs cv2: within a level, the iterative refinement
+`d` can wander at most MARGIN px from the level's initial guess before its
+samples clamp at the patch edge (tracks that wander that far have diverged
+and are culled by the error/eps/bounds gates, like cv2's err>threshold
+tracks).
 """
 
 from __future__ import annotations
@@ -16,8 +30,12 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from vo_tpu.ops.image import bilinear_sample, image_gradients
+# Max |d| within one level before window samples clamp at the patch border.
+# = radius: LK converges flows up to ~the window radius per pyramid level, so
+# the margin must not clip that (the top level carries the largest flow).
+MARGIN = 8
 
 
 class TrackResult(NamedTuple):
@@ -26,10 +44,36 @@ class TrackResult(NamedTuple):
     err: jnp.ndarray  # (K,) mean |I_next - I_prev| over the window
 
 
-def _window_offsets(radius: int) -> jnp.ndarray:
-    r = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(r, r, indexing="ij")
-    return jnp.stack([dx, dy], axis=-1)  # (W, W, 2) as (x, y)
+def _extract_patches(img: jnp.ndarray, corner: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(K, size, size) contiguous patches at integer corners (vmapped
+    dynamic_slice = one block gather). Corners must be in range."""
+
+    def one(c):
+        return lax.dynamic_slice(img, (c[1], c[0]), (size, size))
+
+    return jax.vmap(one)(corner)
+
+
+def _sel(pos: jnp.ndarray, out_size: int, in_size: int) -> jnp.ndarray:
+    """(K, out_size, in_size) bilinear selection matrices.
+
+    Row i carries the linear-interpolation weights for input coordinate
+    pos + i: a tent function max(0, 1 - |j - (pos+i)|) over input cells j.
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    p = pos[:, None] + i[None, :]  # (K, out)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(j[None, None, :] - p[:, :, None]))
+
+
+def _resample(patch: jnp.ndarray, pos_xy: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Bilinear (out, out) windows from (K, P, P) patches at float corners
+    pos_xy (K, 2) — two batched MXU matmuls, no gathers."""
+    P = patch.shape[-1]
+    wy = _sel(pos_xy[:, 1], out_size, P)  # (K, out, P)
+    wx = _sel(pos_xy[:, 0], out_size, P)
+    tmp = jnp.einsum("kip,kpq->kiq", wy, patch, preferred_element_type=jnp.float32)
+    return jnp.einsum("kiq,kjq->kij", tmp, wx, preferred_element_type=jnp.float32)
 
 
 def _lk_level(
@@ -44,62 +88,72 @@ def _lk_level(
 ):
     """One pyramid level of Bouguet LK for all keypoints. Returns
     (flow (K,2), conditioned (K,) bool, err (K,))."""
-    offs = _window_offsets(radius)  # (W, W, 2)
-    gx, gy = image_gradients(prev_img)
+    h, w = prev_img.shape
+    win = 2 * radius + 1
+    # Edge-replicate padding guarantees every patch corner below is in range
+    # (dynamic_slice silently clamps out-of-range starts, which would
+    # misalign windows — padding keeps alignment exact even at borders).
+    pad = radius + MARGIN + 2
+    prev_p = jnp.pad(prev_img, pad, mode="edge")
+    next_p = jnp.pad(next_img, pad, mode="edge")
+    bound = jnp.asarray([w - 1.0, h - 1.0])
 
-    def per_point_setup(p):
-        grid = p[None, None, :] + offs  # (W, W, 2)
-        T = bilinear_sample(prev_img, grid)
-        Ix = bilinear_sample(gx, grid)
-        Iy = bilinear_sample(gy, grid)
-        gxx = jnp.sum(Ix * Ix)
-        gxy = jnp.sum(Ix * Iy)
-        gyy = jnp.sum(Iy * Iy)
-        return T, Ix, Iy, jnp.array([[gxx, gxy], [gxy, gyy]])
+    # ---- Template + gradients: one patch, one (win+2) resample ------------
+    tp_size = win + 4
+    pt_c = jnp.clip(pt_prev, 0.0, bound)
+    base = jnp.floor(pt_c)
+    tcorner = base.astype(jnp.int32) - radius - 2 + pad
+    tpatch = _extract_patches(prev_p, tcorner, tp_size)
+    # Window corner (float) of the (win+2)-sized extended template inside
+    # the patch: frac + 1 (one-cell gradient margin).
+    tfrac = pt_c - base
+    T_ext = _resample(tpatch, tfrac + 1.0, win + 2)  # (K, win+2, win+2)
+    T = T_ext[:, 1:-1, 1:-1]
+    Ix = 0.5 * (T_ext[:, 1:-1, 2:] - T_ext[:, 1:-1, :-2])
+    Iy = 0.5 * (T_ext[:, 2:, 1:-1] - T_ext[:, :-2, 1:-1])
 
-    T, Ix, Iy, G = jax.vmap(per_point_setup)(pt_prev)
-    det = G[:, 0, 0] * G[:, 1, 1] - G[:, 0, 1] * G[:, 1, 0]
-    win_area = (2 * radius + 1) ** 2
-    conditioned = (
-        jnp.minimum(
-            0.5 * (G[:, 0, 0] + G[:, 1, 1])
-            - jnp.sqrt(
-                jnp.maximum(0.25 * (G[:, 0, 0] - G[:, 1, 1]) ** 2 + G[:, 0, 1] ** 2, 0.0)
-            ),
-            jnp.inf,
-        )
-        / win_area
-        > min_eig_threshold
-    ) & (jnp.abs(det) > 1e-8)
-    Ginv = jnp.linalg.inv(
-        jnp.where(conditioned[:, None, None], G, jnp.eye(2, dtype=G.dtype))
+    gxx = jnp.sum(Ix * Ix, axis=(1, 2))
+    gxy = jnp.sum(Ix * Iy, axis=(1, 2))
+    gyy = jnp.sum(Iy * Iy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    win_area = win * win
+    min_eig = 0.5 * (gxx + gyy) - jnp.sqrt(
+        jnp.maximum(0.25 * (gxx - gyy) ** 2 + gxy * gxy, 0.0)
     )
+    conditioned = (min_eig / win_area > min_eig_threshold) & (jnp.abs(det) > 1e-8)
+    inv_det = jnp.where(jnp.abs(det) > 1e-8, 1.0 / det, 0.0)
+
+    # ---- Search patch in the next image around pt_prev + guess ------------
+    sp_size = win + 2 * MARGIN + 2
+    center0 = jnp.clip(pt_prev + guess, 0.0, bound)
+    scorner = jnp.floor(center0).astype(jnp.int32) - radius - MARGIN + pad
+    spatch = _extract_patches(next_p, scorner, sp_size)
+    # Float window corner relative to the search patch (normally MARGIN+frac).
+    s_base = (center0 - radius) + pad - scorner.astype(jnp.float32)  # (K, 2)
+    pos_hi = float(sp_size - win - 1) - 1e-4
+
+    def sample_next(pos):  # pos (K, 2) -> (K, win, win)
+        return _resample(spatch, jnp.clip(pos, 0.0, pos_hi), win)
 
     def body(_, carry):
         d, active = carry
-
-        def per_point(p, d_k, T_k, Ix_k, Iy_k, Ginv_k):
-            grid = p[None, None, :] + d_k[None, None, :] + offs
-            I = bilinear_sample(next_img, grid)
-            diff = T_k - I
-            b = jnp.stack([jnp.sum(diff * Ix_k), jnp.sum(diff * Iy_k)])
-            return Ginv_k @ b
-
-        delta = jax.vmap(per_point)(pt_prev + guess, d, T, Ix, Iy, Ginv)
+        I = sample_next(s_base + d)
+        diff = T - I
+        bx = jnp.sum(diff * Ix, axis=(1, 2))
+        by = jnp.sum(diff * Iy, axis=(1, 2))
+        # Solve G delta = b with the cached 2x2 inverse.
+        dx = inv_det * (gyy * bx - gxy * by)
+        dy = inv_det * (-gxy * bx + gxx * by)
+        delta = jnp.stack([dx, dy], axis=-1)
         delta = jnp.where(active[:, None], delta, 0.0)
         d = d + delta
-        active = active & (jnp.linalg.norm(delta, axis=-1) > eps)
+        active = active & (jnp.sum(delta * delta, axis=-1) > eps * eps)
         return d, active
 
     d0 = jnp.zeros_like(pt_prev)
-    d, _ = jax.lax.fori_loop(0, max_iters, body, (d0, conditioned))
+    d, _ = lax.fori_loop(0, max_iters, body, (d0, conditioned))
 
-    def final_err(p, d_k, T_k):
-        grid = p[None, None, :] + d_k[None, None, :] + offs
-        I = bilinear_sample(next_img, grid)
-        return jnp.mean(jnp.abs(I - T_k))
-
-    err = jax.vmap(final_err)(pt_prev + guess, d, T)
+    err = jnp.mean(jnp.abs(sample_next(s_base + d) - T), axis=(1, 2))
     return guess + d, conditioned, err
 
 
@@ -145,7 +199,6 @@ def pyramidal_lk(
         if lvl > 0:
             flow = flow * 2.0
         conditioned = conditioned & cond_l
-
     new_xy = xy + flow
     h, w = prev_pyr[0].shape
     in_bounds = (

@@ -28,6 +28,27 @@ class DetectorConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DescriptorConfig:
+    """Patch-descriptor matching (ref: harris.py:26-34, 196-262)."""
+
+    radius: int = 9  # (2r+1)^2-pixel patch (ref descriptor_radius=9)
+    ratio: float = 0.85  # Lowe ratio (ref match_lambda-era 0.85 / sift 0.8)
+    max_move_px: float = 100.0  # gate on match displacement between frames
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """DoG front-end (ref: sift.py:8-21 via cv2.SIFT_create)."""
+
+    num_octaves: int = 3
+    scales_per_octave: int = 3
+    contrast_threshold: float = 0.02
+    edge_ratio: float = 10.0
+    ratio: float = 0.8  # ref sift.py:45
+    max_move_px: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
 class KLTConfig:
     """Pyramidal LK (ref: klt.py:29-39)."""
 
@@ -74,8 +95,13 @@ class VOConfig:
     """Top-level pipeline config. Hashable -> usable as a static jit arg."""
 
     capacity: int = 1024  # fixed feature-table slots (ref num_keypoints=1000)
+    # Front-end mode, mirroring the reference's Tracker dispatch
+    # (tracker.py:17-63): "klt" | "harris" | "sift".
+    tracker: str = "klt"
     detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
     klt: KLTConfig = dataclasses.field(default_factory=KLTConfig)
+    descriptor: DescriptorConfig = dataclasses.field(default_factory=DescriptorConfig)
+    sift: SiftConfig = dataclasses.field(default_factory=SiftConfig)
     bootstrap: BootstrapConfig = dataclasses.field(default_factory=BootstrapConfig)
     pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
     triangulation: TriangulationConfig = dataclasses.field(
@@ -84,3 +110,13 @@ class VOConfig:
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def desc_dim(self) -> int:
+        """Descriptor lane width of the feature table for this tracker mode
+        (1 = unused dummy lane for KLT)."""
+        if self.tracker == "harris":
+            return (2 * self.descriptor.radius + 1) ** 2
+        if self.tracker == "sift":
+            return 128
+        return 1
