@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: steady-state per-frame throughput of the full jitted VO step
-on real hardware, KITTI 05 imagery.
+"""Benchmark: steady-state per-frame throughput of the full jitted VO
+pipeline on real hardware, KITTI 05 imagery.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the reference pipeline's best published no-plotting throughput,
 10-15 fps on an Apple M2 (Report.pdf §3/§3.1.3; BASELINE.md) -> 15 fps.
 
+Measurement shape: the whole frame loop runs ON DEVICE as a lax.scan
+(`vo_rollout`) — one launch + one device->host fetch per chunk, which is
+both how the framework is meant to be deployed (no per-frame host
+round-trips) and the only honest timing through a remote-device transport.
 The 6-frame micro-dataset is looped ping-pong (0..5..0) so frame-to-frame
 motion stays physical while giving an arbitrarily long steady-state run.
 """
@@ -22,14 +26,13 @@ import jax.numpy as jnp
 
 BASELINE_FPS = 15.0  # reference, M2 MacBook Air, plotting disabled
 DATA_ROOT = "/root/reference/tests/test_data"
-WARMUP_STEPS = 5
 MEASURE_STEPS = 40
 
 
 def main():
     from vo_tpu.data import Sequence, ate_rmse
     from vo_tpu.data.evaluate import positions_from_poses
-    from vo_tpu.models.pipeline import bootstrap, vo_step
+    from vo_tpu.models.pipeline import bootstrap, vo_rollout
     from vo_tpu.utils.config import VOConfig
 
     seq = Sequence("kitti", path=DATA_ROOT, kitti_sequence="05")
@@ -39,34 +42,33 @@ def main():
     device = str(jax.devices()[0])
 
     state, out = bootstrap(imgs[0], imgs[2], K, cfg, jax.random.PRNGKey(2023))
-    jax.block_until_ready(state)
 
-    # Ping-pong frame order: 3,4,5,4,3,2,1,2,3,...
+    # Ping-pong frame order: 3,4,5,4,3,2,1,2,3,... (physical motion).
     order = list(range(3, len(imgs))) + list(range(len(imgs) - 2, 0, -1)) + [1, 2]
-    frame_iter = (order * 20)[: WARMUP_STEPS + MEASURE_STEPS]
+    frames = (order * 20)[:MEASURE_STEPS]
+    stack = jnp.stack([imgs[f] for f in frames])
 
-    # Accuracy spot-check on the true forward pass (frames 3..5).
-    poses = [np.eye(4, dtype=np.float32), np.asarray(state.pose)]
-    frame_ids = [0, 2]
-
-    for i, f in enumerate(frame_iter[:WARMUP_STEPS]):
-        state, out = vo_step(state, imgs[f], K, cfg)
-        if i < 3:
-            poses.append(np.asarray(out.pose))
-            frame_ids.append(f)
-    jax.block_until_ready(out.pose)
+    # Warmup: compiles bootstrap+rollout, flushes the device queue, and (on
+    # tunneled devices) settles the transport into its steady execution mode.
+    w_state, w_outs = vo_rollout(state, stack, K, cfg)
+    np.asarray(w_outs.pose[-1])
 
     t0 = time.perf_counter()
-    for f in frame_iter[WARMUP_STEPS:]:
-        state, out = vo_step(state, imgs[f], K, cfg)
-    jax.block_until_ready(out.pose)
+    _, outs = vo_rollout(state, stack, K, cfg)
+    last = np.asarray(outs.pose[-1])  # single fetch ends the timed section
     dt = time.perf_counter() - t0
     fps = MEASURE_STEPS / dt
 
+    # Accuracy spot-check on the true forward pass (frames 3..5 of the scan).
     ate = None
     if seq.gt_poses is not None:
-        est = np.stack(poses)
-        gt = seq.gt_poses[frame_ids]
+        est = np.concatenate(
+            [
+                np.stack([np.eye(4, dtype=np.float32), np.asarray(state.pose)]),
+                np.asarray(outs.pose[:3]),
+            ]
+        )
+        gt = seq.gt_poses[[0, 2, 3, 4, 5]]
         ate = ate_rmse(positions_from_poses(est), positions_from_poses(gt))
 
     print(
@@ -77,7 +79,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "device": device,
-                "ate_rmse_m": None if ate is None else round(ate, 5),
+                "ate_rmse_m": None if ate is None else round(float(ate), 5),
                 "capacity": cfg.capacity,
                 "steps": MEASURE_STEPS,
             }

@@ -1,0 +1,140 @@
+"""Sliding-window BA tests against an analytic multi-view oracle: known
+poses/points, projected observations, perturbed initialization -> BA must
+drive reprojection error down and recover geometry up to gauge."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.geom.lie import pose_inverse
+from vo_tpu.models.ba import BAWindow, ba_refine, empty_window, push_keyframe
+
+K_CAM = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+W, L = 6, 200
+
+
+def _make_world(rng):
+    """W poses moving forward with slight yaw, L points in front."""
+    pts = np.stack(
+        [
+            rng.uniform(-8, 8, L),
+            rng.uniform(-4, 4, L),
+            rng.uniform(12, 40, L),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    poses = []
+    for i in range(W):
+        a = 0.02 * i
+        R = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+        )
+        t = np.array([0.1 * i, 0.0, 0.8 * i])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)  # w_T_c
+    return np.stack(poses), pts
+
+
+def _project(T_wc, X):
+    T_cw = np.linalg.inv(T_wc)
+    xc = X @ T_cw[:3, :3].T + T_cw[:3, 3]
+    uv = xc @ K_CAM.T
+    return uv[:, :2] / uv[:, 2:], xc[:, 2]
+
+
+def _build_window(poses, pts, noise, rng, perturb_pose=0.0, perturb_pt=0.0):
+    win = empty_window(W, L)
+    obs_uv = np.zeros((L, W, 2), np.float32)
+    obs_mask = np.zeros((L, W), bool)
+    for w in range(W):
+        uv, z = _project(poses[w], pts)
+        uv = uv + rng.normal(0, noise, uv.shape)
+        inside = (
+            (z > 1)
+            & (uv[:, 0] > 0) & (uv[:, 0] < 640)
+            & (uv[:, 1] > 0) & (uv[:, 1] < 480)
+        )
+        obs_uv[:, w] = np.where(inside[:, None], uv, 0.0)
+        obs_mask[:, w] = inside
+    poses_init = poses.copy()
+    if perturb_pose > 0:
+        for w in range(1, W):  # keep gauge frame exact
+            poses_init[w, :3, 3] += rng.normal(0, perturb_pose, 3)
+    pts_init = pts + rng.normal(0, perturb_pt, pts.shape).astype(np.float32)
+    return win._replace(
+        kf_pose=jnp.asarray(poses_init.reshape(W, 16)),
+        kf_valid=jnp.ones((W,), bool),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_mask=jnp.asarray(obs_mask),
+        landmark=jnp.asarray(pts_init),
+        lm_uid=jnp.arange(L, dtype=jnp.int32),
+        lm_valid=jnp.asarray(obs_mask.sum(axis=1) >= 2),
+    )
+
+
+def _mean_reproj(win):
+    from vo_tpu.models.ba import _residuals_jacobians
+
+    r, _, _, dok = _residuals_jacobians(
+        win.kf_pose, win.landmark, win.obs_uv, jnp.asarray(K_CAM)
+    )
+    m = np.asarray(win.obs_mask) & np.asarray(dok) & np.asarray(win.lm_valid)[:, None]
+    rn = np.linalg.norm(np.asarray(r), axis=-1)
+    return rn[m].mean()
+
+
+def test_ba_reduces_reprojection_error(rng):
+    poses, pts = _make_world(rng)
+    win = _build_window(poses, pts, noise=0.0, rng=rng,
+                        perturb_pose=0.05, perturb_pt=0.3)
+    e0 = _mean_reproj(win)
+    win2, errs = ba_refine(win, jnp.asarray(K_CAM), iters=8)
+    e1 = _mean_reproj(win2)
+    assert e0 > 1.0  # perturbation actually hurt
+    assert e1 < 0.02 * e0, (e0, e1)
+
+
+def test_ba_recovers_poses_up_to_gauge(rng):
+    poses, pts = _make_world(rng)
+    win = _build_window(poses, pts, noise=0.0, rng=rng,
+                        perturb_pose=0.08, perturb_pt=0.4)
+    win2, _ = ba_refine(win, jnp.asarray(K_CAM), iters=10)
+    est = np.asarray(win2.kf_pose).reshape(W, 4, 4)
+    # Compare relative poses (gauge-free).
+    for w in range(1, W):
+        rel_gt = np.linalg.inv(poses[0]) @ poses[w]
+        rel_est = np.linalg.inv(est[0]) @ est[w]
+        assert np.abs(rel_gt[:3, 3] - rel_est[:3, 3]).max() < 5e-3
+        assert np.abs(rel_gt[:3, :3] - rel_est[:3, :3]).max() < 1e-3
+
+
+def test_ba_noise_floor(rng):
+    """With 0.5 px observation noise, BA should settle near the noise floor
+    and not diverge."""
+    poses, pts = _make_world(rng)
+    win = _build_window(poses, pts, noise=0.5, rng=rng,
+                        perturb_pose=0.05, perturb_pt=0.3)
+    win2, errs = ba_refine(win, jnp.asarray(K_CAM), iters=8)
+    e1 = _mean_reproj(win2)
+    assert e1 < 1.0, e1  # ~0.5-0.7 px expected
+
+
+def test_push_keyframe_uid_invalidation():
+    win = empty_window(3, 4)
+    pose = jnp.eye(4, dtype=jnp.float32)
+    xy = jnp.ones((4, 2), jnp.float32)
+    lm = jnp.ones((4, 3), jnp.float32)
+    uid = jnp.asarray([10, 11, 12, 13], jnp.int32)
+    tri = jnp.asarray([True, True, False, True])
+    win = push_keyframe(win, pose, xy, lm, uid, tri)
+    win = push_keyframe(win, pose, xy * 2, lm, uid, tri)
+    assert np.asarray(win.obs_mask)[0].tolist() == [False, True, True]
+    # Recycle slot 1 under a new uid: its old observations must drop.
+    uid2 = jnp.asarray([10, 99, 12, 13], jnp.int32)
+    win = push_keyframe(win, pose, xy * 3, lm, uid2, tri)
+    m = np.asarray(win.obs_mask)
+    assert m[0].tolist() == [True, True, True]  # uid 10: continuous
+    assert m[1].tolist() == [False, False, True]  # uid 99: fresh only

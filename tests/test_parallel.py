@@ -83,3 +83,36 @@ def test_graft_entry_contract():
     out_state, out = jax.jit(fn)(*args)
     assert out.pose.shape == (4, 4)
     graft.dryrun_multichip(8)
+
+
+def test_distributed_ba_matches_single_device(rng):
+    """Landmark-sharded BA must agree with the single-device solver — the
+    psum reassociates the same sums."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from vo_tpu.models.ba import ba_refine
+    from vo_tpu.parallel.dist_ba import distributed_ba_refine, shard_window
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ba import K_CAM, _build_window, _make_world
+
+    poses, pts = _make_world(rng)
+    win = _build_window(poses, pts, noise=0.3, rng=rng,
+                        perturb_pose=0.05, perturb_pt=0.3)
+    ref, ref_errs = ba_refine(win, jnp.asarray(K_CAM), iters=4)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("data", "model"))
+    win_sharded = shard_window(win, mesh)
+    out, errs = distributed_ba_refine(mesh, win_sharded, jnp.asarray(K_CAM), iters=4)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_errs), np.asarray(errs), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.kf_pose), np.asarray(out.kf_pose), rtol=1e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.landmark), np.asarray(out.landmark), rtol=1e-2, atol=5e-3
+    )

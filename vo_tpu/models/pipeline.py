@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from vo_tpu.geom.lie import pose_inverse
+from vo_tpu.models.ba import BAWindow, ba_refine, empty_window, push_keyframe
 from vo_tpu.models.feature_table import (
     STATE_EMPTY,
     STATE_MATCHED,
@@ -63,6 +64,7 @@ class VOState(NamedTuple):
     frame_idx: jnp.ndarray  # () int32
     next_uid: jnp.ndarray  # () int32
     rng: jax.Array
+    window: BAWindow  # sliding keyframe window for on-device BA
 
 
 class StepOutput(NamedTuple):
@@ -252,6 +254,11 @@ def bootstrap(
         sigma=sigma1,
     )
 
+    window = empty_window(cfg.ba.window, kcap)
+    window = push_keyframe(
+        window, pose1, table.xy, table.landmark, table.uid,
+        table.state == STATE_TRIANGULATED,
+    )
     vo_state = VOState(
         table=table,
         pose=pose1,
@@ -260,6 +267,7 @@ def bootstrap(
         frame_idx=jnp.asarray(cfg.bootstrap.frame_gap, jnp.int32),
         next_uid=jnp.asarray(kcap, jnp.int32),
         rng=rng,
+        window=window,
     )
     n3 = good3d.sum()
     out = StepOutput(
@@ -415,14 +423,48 @@ def vo_step(
         det_desc=det.desc, det_sigma=det.sigma,
     )
 
+    # ---- 8. Keyframe push + on-device windowed BA (beyond the reference —
+    # its report names windowed BA as the top future-work item, §3.1.1) ----
+    new_frame_idx = state.frame_idx + 1
+    window = state.window
+    if cfg.ba.enabled:
+
+        def _with_ba(op):
+            win, tbl, p = op
+            win = push_keyframe(
+                win, p, tbl.xy, tbl.landmark, tbl.uid,
+                tbl.state == STATE_TRIANGULATED,
+            )
+            win, _ = ba_refine(
+                win, K, iters=cfg.ba.iters,
+                damping=cfg.ba.damping, huber_px=cfg.ba.huber_px,
+            )
+            match = (
+                (win.lm_uid == tbl.uid)
+                & win.lm_valid
+                & (tbl.state == STATE_TRIANGULATED)
+            )
+            tbl = tbl._replace(
+                landmark=jnp.where(match[:, None], win.landmark, tbl.landmark)
+            )
+            return win, tbl, win.kf_pose[-1].reshape(4, 4)
+
+        window, table, pose = jax.lax.cond(
+            (new_frame_idx % cfg.ba.keyframe_every == 0) & pose_ok,
+            _with_ba,
+            lambda op: op,
+            (window, table, pose),
+        )
+
     new_state = VOState(
         table=table,
         pose=pose,
         prev_pose=state.pose,
         pyramid=pyr_new,
-        frame_idx=state.frame_idx + 1,
+        frame_idx=new_frame_idx,
         next_uid=next_uid,
         rng=rng,
+        window=window,
     )
     out = StepOutput(
         pose=pose,

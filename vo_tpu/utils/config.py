@@ -91,6 +91,19 @@ class TriangulationConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window bundle adjustment (new capability — the reference
+    names it as future work, Report §3.1.1)."""
+
+    enabled: bool = True
+    window: int = 6  # keyframes in the window
+    keyframe_every: int = 3  # frames between keyframes
+    iters: int = 5  # GN iterations per refinement
+    damping: float = 1e-3
+    huber_px: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
 class VOConfig:
     """Top-level pipeline config. Hashable -> usable as a static jit arg."""
 
@@ -107,6 +120,7 @@ class VOConfig:
     triangulation: TriangulationConfig = dataclasses.field(
         default_factory=TriangulationConfig
     )
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
 
     def replace(self, **kw) -> "VOConfig":
         return dataclasses.replace(self, **kw)
