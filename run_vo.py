@@ -32,7 +32,15 @@ def parse_args(argv=None):
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--capacity", type=int, default=1024)
+    p.add_argument("--tracker", choices=["klt", "harris", "sift"], default="klt",
+                   help="front-end mode (ref tracker.py dispatch)")
     p.add_argument("--detector", choices=["shi_tomasi", "harris"], default="shi_tomasi")
+    p.add_argument("--no-ba", action="store_true", help="disable windowed BA")
+    p.add_argument("--ba-window", type=int, default=6)
+    p.add_argument("--ba-every", type=int, default=3)
+    p.add_argument("--checkpoint", default="", help="write checkpoints here (.npz)")
+    p.add_argument("--checkpoint-every", type=int, default=100)
+    p.add_argument("--resume", default="", help="resume from a checkpoint (.npz)")
     p.add_argument("--viz-dir", default="", help="write keypoint-overlay PNGs here")
     p.add_argument("--trajectory-pdf", default="", help="write final trajectory figure")
     p.add_argument("--save-npz", default="", help="save poses/stats to .npz")
@@ -56,7 +64,8 @@ def main(argv=None):
     from vo_tpu.models.feature_table import STATE_TRIANGULATED
     from vo_tpu.models.pipeline import bootstrap, vo_step
     from vo_tpu.utils import viz
-    from vo_tpu.utils.config import DetectorConfig, VOConfig
+    from vo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from vo_tpu.utils.config import BAConfig, DetectorConfig, VOConfig
 
     seq = Sequence(
         args.dataset,
@@ -67,7 +76,10 @@ def main(argv=None):
     n_frames = len(seq) if args.max_frames <= 0 else min(args.max_frames, len(seq))
     cfg = VOConfig(
         capacity=args.capacity,
+        tracker=args.tracker,
         detector=DetectorConfig(method=args.detector),
+        ba=BAConfig(enabled=not args.no_ba, window=args.ba_window,
+                    keyframe_every=args.ba_every),
     )
     K = jnp.asarray(seq.K)
     gap = cfg.bootstrap.frame_gap
@@ -80,30 +92,38 @@ def main(argv=None):
 
     print(f"[vo_tpu] {args.dataset}: {n_frames} frames, device={jax.devices()[0]}")
     t_start = time.time()
-    state, out = bootstrap(
-        jnp.asarray(seq.get_frame(0)), jnp.asarray(seq.get_frame(gap)), K, cfg,
-        jax.random.PRNGKey(2023),
-    )
-    jax.block_until_ready(state)
-    t_boot = time.time() - t_start
-    print(
-        f"[vo_tpu] bootstrap(0,{gap}) in {t_boot:.1f}s: "
-        f"tracked={int(out.num_tracked)} landmarks={int(out.num_triangulated)} "
-        f"ok={bool(out.pose_ok)}"
-    )
-
-    frame_ids = [0, gap]
-    poses = [np.eye(4, dtype=np.float32), np.asarray(out.pose)]
+    if args.resume:
+        state, cfg, traj, fids = load_checkpoint(args.resume)
+        frame_ids = list(np.asarray(fids)) if fids is not None else []
+        poses = list(traj) if traj is not None else []
+        start_frame = int(state.frame_idx) + 1
+        print(f"[vo_tpu] resumed from {args.resume} at frame {start_frame - 1}")
+    else:
+        state, out = bootstrap(
+            jnp.asarray(seq.get_frame(0)), jnp.asarray(seq.get_frame(gap)), K, cfg,
+            jax.random.PRNGKey(2023),
+        )
+        jax.block_until_ready(state)
+        t_boot = time.time() - t_start
+        print(
+            f"[vo_tpu] bootstrap(0,{gap}) in {t_boot:.1f}s: "
+            f"tracked={int(out.num_tracked)} landmarks={int(out.num_triangulated)} "
+            f"ok={bool(out.pose_ok)}"
+        )
+        frame_ids = [0, gap]
+        poses = [np.eye(4, dtype=np.float32), np.asarray(out.pose)]
+        start_frame = gap + 1
     stats = []
     t_loop = time.time()
     compile_time = 0.0
-    for i in range(gap + 1, n_frames):
+    first_i = start_frame
+    for i in range(start_frame, n_frames):
         img = jnp.asarray(seq.get_frame(i))
         t0 = time.time()
         state, out = vo_step(state, img, K, cfg)
         jax.block_until_ready(out.pose)
         dt = time.time() - t0
-        if i == gap + 1:
+        if i == first_i:
             compile_time = dt
         frame_ids.append(i)
         poses.append(np.asarray(out.pose))
@@ -113,6 +133,11 @@ def main(argv=None):
                  cand=int(out.num_candidates), inl=int(out.num_pnp_inliers),
                  new=int(out.num_new_landmarks))
         )
+        if args.checkpoint and (i - first_i + 1) % args.checkpoint_every == 0:
+            save_checkpoint(args.checkpoint, state, cfg,
+                            trajectory=poses, frame_ids=frame_ids)
+            if not args.quiet:
+                print(f"[vo_tpu] checkpoint @ frame {i} -> {args.checkpoint}")
         if not args.quiet:
             print(f"[vo_tpu] frame {i:5d} {1.0/max(dt,1e-9):6.1f} fps  {viz.hud_text(out)}"
                   + ("" if bool(out.pose_ok) else "  [POSE FALLBACK]"))

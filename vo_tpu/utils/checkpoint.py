@@ -1,0 +1,112 @@
+"""Checkpoint / resume of the full VO state.
+
+The reference persists nothing but a trajectory PDF (main.py:330) — no map
+or state serialization exists (SURVEY.md §5). Here the ENTIRE pipeline state
+(feature table, poses, pyramid, BA window, RNG) is a pytree of arrays, so a
+checkpoint is one device->host snapshot written as a compressed .npz plus a
+JSON sidecar for the config; resume rebuilds the pytree and continues
+bit-exactly (the step is a pure function of (state, frame)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.models.ba import BAWindow
+from vo_tpu.models.feature_table import FeatureTable
+from vo_tpu.models.pipeline import VOState
+from vo_tpu.utils.config import (
+    BAConfig,
+    BootstrapConfig,
+    DescriptorConfig,
+    DetectorConfig,
+    KLTConfig,
+    PnPConfig,
+    SiftConfig,
+    TriangulationConfig,
+    VOConfig,
+)
+
+
+def _flatten(state: VOState) -> dict[str, np.ndarray]:
+    leaves, _ = jax.tree.flatten(state)
+    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+
+def save_checkpoint(
+    path: str,
+    state: VOState,
+    cfg: VOConfig,
+    trajectory: list[np.ndarray] | None = None,
+    frame_ids: list[int] | None = None,
+) -> None:
+    """Write state + config (+ trajectory so far) to `path` (.npz)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays = _flatten(state)
+    arrays["_pyramid_levels"] = np.asarray(len(state.pyramid))
+    if trajectory is not None:
+        arrays["_trajectory"] = np.stack(trajectory)
+        arrays["_frame_ids"] = np.asarray(frame_ids if frame_ids is not None else [])
+    np.savez_compressed(path, **arrays)
+    with open(path + ".json", "w") as f:
+        json.dump(_cfg_to_dict(cfg), f, indent=1)
+
+
+def load_checkpoint(path: str) -> tuple[VOState, VOConfig, Any, Any]:
+    """Read (state, cfg, trajectory, frame_ids) back from `path`."""
+    with open(path + ".json") as f:
+        cfg = _cfg_from_dict(json.load(f))
+    data = np.load(path)
+    n_pyr = int(data["_pyramid_levels"])
+    template = _template_state(cfg, n_pyr)
+    treedef = jax.tree.structure(template)
+    n_leaves = treedef.num_leaves
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
+    state = jax.tree.unflatten(treedef, leaves)
+    traj = data["_trajectory"] if "_trajectory" in data else None
+    fids = data["_frame_ids"] if "_frame_ids" in data else None
+    return state, cfg, traj, fids
+
+
+def _template_state(cfg: VOConfig, pyramid_levels: int) -> VOState:
+    """A structurally-correct dummy VOState to recover the treedef."""
+    from vo_tpu.models.ba import empty_window
+    from vo_tpu.models.feature_table import empty_table
+
+    return VOState(
+        table=empty_table(cfg.capacity, cfg.desc_dim),
+        pose=jnp.eye(4),
+        prev_pose=jnp.eye(4),
+        pyramid=tuple(jnp.zeros((2, 2)) for _ in range(pyramid_levels)),
+        frame_idx=jnp.asarray(0),
+        next_uid=jnp.asarray(0),
+        rng=jax.random.PRNGKey(0),
+        window=empty_window(cfg.ba.window, cfg.capacity),
+    )
+
+
+def _cfg_to_dict(cfg: VOConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def _cfg_from_dict(d: dict) -> VOConfig:
+    return VOConfig(
+        capacity=d["capacity"],
+        tracker=d["tracker"],
+        detector=DetectorConfig(**d["detector"]),
+        klt=KLTConfig(**d["klt"]),
+        descriptor=DescriptorConfig(**d["descriptor"]),
+        sift=SiftConfig(**d["sift"]),
+        bootstrap=BootstrapConfig(**d["bootstrap"]),
+        pnp=PnPConfig(**d["pnp"]),
+        triangulation=TriangulationConfig(**d["triangulation"]),
+        ba=BAConfig(**d["ba"]),
+    )
