@@ -43,6 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--resume", default="", help="resume from a checkpoint (.npz)")
     p.add_argument("--viz-dir", default="", help="write keypoint-overlay PNGs here")
     p.add_argument("--trajectory-pdf", default="", help="write final trajectory figure")
+    p.add_argument("--map-pdf", default="", help="write final 3-D point-cloud figure")
     p.add_argument("--save-npz", default="", help="save poses/stats to .npz")
     p.add_argument("--profile-dir", default="", help="jax.profiler trace directory")
     p.add_argument("--quiet", action="store_true")
@@ -181,6 +182,13 @@ def main(argv=None):
             title=f"{args.dataset} ({len(frame_ids)} frames)",
         )
         print(f"[vo_tpu] wrote {args.trajectory_pdf}")
+
+    if args.map_pdf:
+        tab = state.table
+        lm = np.asarray(tab.landmark)[np.asarray(tab.state) == STATE_TRIANGULATED]
+        viz.save_point_cloud_plot(args.map_pdf, lm, est,
+                                  title=f"{args.dataset} map")
+        print(f"[vo_tpu] wrote {args.map_pdf}")
 
     if args.save_npz:
         os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)

@@ -3,9 +3,10 @@
 Capability parity with the reference's src/vo/sensors/camera.py (projection
 matrix :31, world/camera-frame projection :56-78, normalized image
 coordinates :80-92, c_T_w :95-100), re-designed as an immutable pytree so a
-Camera can ride through jit/vmap/scan. Distortion is accepted but, exactly
-like the reference (camera.py:38-54 stubs), not applied; the field is kept so
-calibration files round-trip.
+Camera can ride through jit/vmap/scan. Unlike the reference — whose
+distort_points/undistort are stubs (camera.py:38-54, body `pass`) — the full
+Brown-Conrady radial-tangential model is implemented (forward + fixed-point
+inverse), batched and jit-friendly.
 
 Pose conventions used across vo_tpu:
   pose   = w_T_c : camera-to-world ("where the camera sits in the world");
@@ -75,6 +76,39 @@ class Camera(NamedTuple):
         n = self.normalized_coords(pixels)
         rays = to_homogeneous(n)
         return rays * depth[..., None]
+
+    def distort_points(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """Apply radial-tangential (k1, k2, p1, p2, k3) distortion to ideal
+        pixel coordinates (..., 2).
+
+        The reference declares this interface but leaves it a stub
+        (camera.py:38-47, body `pass`); here it is the full Brown-Conrady
+        model, batched."""
+        n = self.normalized_coords(pixels)
+        d = _distort_normalized(n, self.dist)
+        return to_cartesian((self.K @ to_homogeneous(d)[..., None])[..., 0])
+
+    def undistort_points(self, pixels: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+        """Invert the distortion by fixed-point iteration (stub in the
+        reference, camera.py:49-54). `iters`=8 converges to <1e-4 px for
+        typical automotive lenses."""
+        n_obs = self.normalized_coords(pixels)
+        n = n_obs
+        for _ in range(iters):  # static unroll: jit-friendly
+            d = _distort_normalized(n, self.dist)
+            n = n + (n_obs - d)
+        return to_cartesian((self.K @ to_homogeneous(n)[..., None])[..., 0])
+
+
+def _distort_normalized(n: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Brown-Conrady forward model on normalized coords (..., 2)."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x, y = n[..., 0], n[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xt = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yt = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([x * radial + xt, y * radial + yt], axis=-1)
 
 
 def project(P: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:

@@ -29,8 +29,34 @@ def to_grayscale(img: jnp.ndarray, channel_order: str = "rgb") -> jnp.ndarray:
     return jnp.tensordot(img, w, axes=([-1], [0]))
 
 
+def _filt1d(img: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    """1-D correlation along `axis` with static taps, SAME zero padding.
+
+    TPU note: a single-channel 2-D `lax.conv` is degenerate for the MXU conv
+    path (channel dims of 1 get padded to full lanes), so small separable
+    stencils are unrolled into shifted adds instead — pure elementwise VPU
+    work that XLA fuses into one kernel.
+    """
+    taps = [float(t) for t in taps]
+    r = len(taps) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    p = jnp.pad(img, pad)
+    n = img.shape[axis]
+    out = None
+    for i, t in enumerate(taps):
+        if t == 0.0:
+            continue
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + n)
+        term = t * p[tuple(sl)]
+        out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(img)
+
+
 def _conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """2-D correlation with SAME zero padding. img (H, W), kernel (kh, kw)."""
+    """2-D correlation with SAME zero padding. img (H, W), kernel (kh, kw).
+    Kept for genuinely non-separable kernels."""
     out = lax.conv_general_dilated(
         img[None, None, :, :],
         kernel[None, None, :, :],
@@ -47,11 +73,14 @@ def sobel(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     Ref parity: harris.py:103-120 computes the same 3x3 Sobel responses via
     scipy convolve2d (as convolution — kernels flipped; we use correlation
     with the standard kernels, which is identical for these antisymmetric
-    kernels up to the sign convention cv2 uses).
+    kernels up to the sign convention cv2 uses). Separable:
+    sobel_x = [1,2,1]_y ⊗ [-1,0,1]_x.
     """
-    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32)
-    ky = kx.T
-    return _conv2d_same(img, kx), _conv2d_same(img, ky)
+    smooth = (1.0, 2.0, 1.0)
+    diff = (-1.0, 0.0, 1.0)
+    gx = _filt1d(_filt1d(img, smooth, 0), diff, 1)
+    gy = _filt1d(_filt1d(img, smooth, 1), diff, 0)
+    return gx, gy
 
 
 def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -59,8 +88,8 @@ def box_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
 
     Ref parity: the Harris patch sum at harris.py:122-127 (ones kernel).
     """
-    k = jnp.ones((1, size), jnp.float32)
-    return _conv2d_same(_conv2d_same(img, k), k.T)
+    ones = (1.0,) * size
+    return _filt1d(_filt1d(img, ones, 0), ones, 1)
 
 
 def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
@@ -72,9 +101,15 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
-    """Separable Gaussian blur, SAME padding."""
-    k = gaussian_kernel1d(sigma, radius)
-    return _conv2d_same(_conv2d_same(img, k[None, :]), k[:, None])
+    """Separable Gaussian blur, SAME padding (statically unrolled taps)."""
+    import numpy as _np
+
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = _np.arange(-radius, radius + 1, dtype=_np.float64)
+    k = _np.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    return _filt1d(_filt1d(img, k, 1), k, 0)
 
 
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:

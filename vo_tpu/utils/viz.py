@@ -45,6 +45,76 @@ def hud_text(out) -> str:
     )
 
 
+def match_overlay(
+    image1: np.ndarray,
+    image2: np.ndarray,
+    xy1: np.ndarray,
+    xy2: np.ndarray,
+    mask: np.ndarray,
+    max_draw: int = 25,
+) -> np.ndarray:
+    """Side-by-side frames with match lines (ref overlays.py:106-146
+    plot_matches — same 25-match default). Returns (H, 2W, 3) uint8 RGB."""
+    import cv2
+
+    a = cv2.cvtColor(np.clip(image1, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2RGB)
+    b = cv2.cvtColor(np.clip(image2, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2RGB)
+    canvas = np.concatenate([a, b], axis=1)
+    w = a.shape[1]
+    idx = np.flatnonzero(np.asarray(mask))[:max_draw]
+    for i in idx:
+        p = (int(xy1[i, 0]), int(xy1[i, 1]))
+        q = (int(xy2[i, 0]) + w, int(xy2[i, 1]))
+        cv2.circle(canvas, p, 3, (0, 255, 0), 1, cv2.LINE_AA)
+        cv2.circle(canvas, q, 3, (0, 255, 0), 1, cv2.LINE_AA)
+        cv2.line(canvas, p, q, (255, 128, 0), 1, cv2.LINE_AA)
+    return canvas
+
+
+def save_point_cloud_plot(
+    path: str,
+    landmarks: np.ndarray,
+    poses: np.ndarray | None = None,
+    title: str = "map",
+):
+    """3-D landmark/trajectory figure (ref point_cloud.py:11-66
+    PointCloudVisualizer) — headless, with the reference's percentile-based
+    axis rescale (point_cloud.py:24-32) and camera frusta markers."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    if len(landmarks):
+        lo = np.percentile(landmarks, 5, axis=0)
+        hi = np.percentile(landmarks, 95, axis=0)
+        keep = np.all((landmarks >= lo - (hi - lo)) & (landmarks <= hi + (hi - lo)), axis=1)
+        pts = landmarks[keep]
+        ax.scatter(pts[:, 0], pts[:, 2], -pts[:, 1], s=1, c="#999999", alpha=0.5)
+        ax.set_xlim(lo[0], hi[0])
+        ax.set_ylim(lo[2], hi[2])
+        ax.set_zlim(-hi[1], -lo[1])
+    if poses is not None and len(poses):
+        c = poses[:, :3, 3]
+        ax.plot(c[:, 0], c[:, 2], -c[:, 1], "-o", ms=2, c="#1f77b4")
+        # Frustum rays of the newest camera.
+        T = poses[-1]
+        scale = 1.0
+        for d in ([0.3, 0.2, 1.0], [-0.3, 0.2, 1.0], [0.3, -0.2, 1.0], [-0.3, -0.2, 1.0]):
+            tip = T[:3, 3] + (T[:3, :3] @ np.asarray(d)) * scale
+            ax.plot(*zip(T[:3, 3][[0, 2]], tip[[0, 2]]),
+                    zs=[-T[1, 3], -tip[1]], c="#d62728", lw=0.8)
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    ax.set_zlabel("-y")
+    ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def save_trajectory_plot(
     path: str,
     est_positions: np.ndarray,
