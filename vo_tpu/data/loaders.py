@@ -23,20 +23,21 @@ from glob import glob
 
 import numpy as np
 
-try:  # decode via cv2 when present (fastest), PIL otherwise
-    import cv2
+from vo_tpu.data import native_loader
 
-    def _imread_gray(path: str) -> np.ndarray:
-        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-        if img is None:
-            raise FileNotFoundError(path)
-        return img.astype(np.float32)
 
-except Exception:  # pragma: no cover
+def _imread_gray_pil(path: str) -> np.ndarray:
     from PIL import Image
 
-    def _imread_gray(path: str) -> np.ndarray:
-        return np.asarray(Image.open(path).convert("L"), dtype=np.float32)
+    return np.asarray(Image.open(path).convert("L"), dtype=np.float32)
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    """Decode via the native C++ loader (native/frame_loader.cc) when built,
+    PIL otherwise. Both produce identical f32 grayscale (ITU-R 601-2)."""
+    if native_loader.available():
+        return native_loader.decode_gray(path)
+    return _imread_gray_pil(path)
 
 
 @dataclass
@@ -170,6 +171,15 @@ class Sequence:
 
     def get_frame(self, idx: int) -> np.ndarray:
         return _imread_gray(self.frames[idx])
+
+    def prefetch(self, n_threads: int = 4, ring: int = 8):
+        """Decode-ahead frame iterator backed by the native C++ thread pool
+        (falls back to lazy synchronous decode when the library is absent)."""
+        if native_loader.available():
+            return native_loader.FramePrefetcher(
+                list(self.frames), n_threads=n_threads, ring=ring
+            )
+        return iter(self)
 
     def __len__(self) -> int:
         return len(self.frames)
