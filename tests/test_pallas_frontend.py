@@ -1,0 +1,82 @@
+"""Fused Pallas detection kernel vs the XLA oracle (interpret mode on CPU).
+
+Strategy per SURVEY §4: the unfused XLA implementation in vo_tpu.ops.harris
+is the reference backend; the Pallas kernel must reproduce its NMS-masked
+response map bit-for-bit in structure (same maxima, same values) across
+modes, strip boundaries, and image sizes smaller/larger than one strip.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vo_tpu.ops.harris import (
+    detect_keypoints,
+    harris_response,
+    nms_masked_response,
+    select_keypoints,
+    shi_tomasi_response,
+)
+from vo_tpu.ops.pallas_kernels import corner_response_nms
+
+RNG = np.random.default_rng(2023)
+
+
+def _oracle(img, mode, patch, kappa, nms_r):
+    resp = (
+        harris_response(img, patch, kappa)
+        if mode == "harris"
+        else shi_tomasi_response(img, patch)
+    )
+    return np.asarray(nms_masked_response(resp, nms_r))
+
+
+@pytest.mark.parametrize("mode,patch,nms_r", [
+    ("shi_tomasi", 7, 8),
+    ("harris", 9, 5),
+])
+@pytest.mark.parametrize("shape", [(150, 260), (64, 200), (30, 40)])
+def test_pallas_matches_oracle(mode, patch, nms_r, shape):
+    img = jnp.asarray(RNG.uniform(0, 255, shape).astype(np.float32))
+    got = np.asarray(
+        corner_response_nms(
+            img, mode=mode, patch_size=patch, kappa=0.08, nms_radius=nms_r,
+            interpret=True,
+        )
+    )
+    want = _oracle(img, mode, patch, 0.08, nms_r)
+    fg, fw = np.isfinite(got), np.isfinite(want)
+    np.testing.assert_array_equal(fg, fw)
+    if fw.any():
+        np.testing.assert_allclose(got[fw], want[fw], rtol=1e-5, atol=1e-2)
+
+
+def test_detect_keypoints_pallas_equals_xla():
+    img = jnp.asarray(RNG.uniform(0, 255, (190, 240)).astype(np.float32))
+    # interpret-mode pallas is not reachable through detect_keypoints's
+    # auto switch (CPU -> XLA), so compare the two masked maps directly and
+    # the selection tail once.
+    masked_p = corner_response_nms(
+        img, mode="shi_tomasi", patch_size=7, kappa=0.08, nms_radius=6,
+        interpret=True,
+    )
+    resp = shi_tomasi_response(img, 7)
+    want = select_keypoints(resp, 100, nms_radius=6, border=10, quality_level=0.01)
+    from vo_tpu.ops.harris import select_from_masked
+
+    got = select_from_masked(masked_p, 100, border=10, quality_level=0.01)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_allclose(
+        np.asarray(got.xy)[np.asarray(got.valid)],
+        np.asarray(want.xy)[np.asarray(want.valid)],
+    )
+
+
+def test_detect_keypoints_auto_is_xla_on_cpu():
+    img = jnp.asarray(RNG.uniform(0, 255, (120, 160)).astype(np.float32))
+    a = detect_keypoints(img, 64, mode="harris", patch_size=9, nms_radius=5, border=8)
+    resp = harris_response(img, 9, 0.08)
+    b = select_keypoints(resp, 64, nms_radius=5, border=8)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy))

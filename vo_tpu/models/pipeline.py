@@ -47,7 +47,7 @@ from vo_tpu.ops.epipolar import (
     relative_pose_from_essential,
 )
 from vo_tpu.ops.descriptors import extract_patches, match_descriptors
-from vo_tpu.ops.harris import harris_response, select_keypoints, shi_tomasi_response
+from vo_tpu.ops.harris import detect_keypoints
 from vo_tpu.ops.image import build_pyramid
 from vo_tpu.ops.klt import TrackResult, pyramidal_lk
 from vo_tpu.ops.sift import sift_describe, sift_detect
@@ -83,13 +83,11 @@ class StepOutput(NamedTuple):
 
 def _detect(image: jnp.ndarray, cfg: VOConfig, num: int):
     d = cfg.detector
-    if d.method == "harris" or cfg.tracker == "harris":
-        resp = harris_response(image, d.patch_size, d.kappa)
-    else:
-        resp = shi_tomasi_response(image, d.patch_size)
-    return select_keypoints(
-        resp, num, nms_radius=d.nms_radius, border=d.border,
-        quality_level=d.quality_level,
+    mode = "harris" if (d.method == "harris" or cfg.tracker == "harris") else "shi_tomasi"
+    return detect_keypoints(
+        image, num, mode=mode, patch_size=d.patch_size, kappa=d.kappa,
+        nms_radius=d.nms_radius, border=d.border,
+        quality_level=d.quality_level, use_pallas=d.use_pallas,
     )
 
 

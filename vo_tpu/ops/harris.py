@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -56,6 +57,60 @@ class Keypoints(NamedTuple):
     valid: jnp.ndarray  # (K,) bool
 
 
+def nms_masked_response(response: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
+    """Response at strict local maxima of a (2r+1)^2 window, -inf elsewhere.
+
+    XLA reference implementation (oracle for the fused Pallas kernel in
+    ops/pallas_kernels.py). Ties between equal maxima are broken by flat
+    index (second pooling pass), otherwise neighboring tied pixels would all
+    pass the >= test and violate the NMS spacing guarantee. Flat indices
+    stay exact in f32 up to 2^24.
+    """
+    h, w = response.shape
+    win = 2 * nms_radius + 1
+    pooled = lax.reduce_window(
+        response, -jnp.inf, lax.max, (win, win), (1, 1), "SAME"
+    )
+    idx_f = (
+        lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ).astype(jnp.float32)
+    tied_idx = jnp.where(response >= pooled, idx_f, -1.0)
+    pooled_idx = lax.reduce_window(
+        tied_idx, -jnp.inf, lax.max, (win, win), (1, 1), "SAME"
+    )
+    is_max = (response >= pooled) & (idx_f == pooled_idx)
+    return jnp.where(is_max, response, -jnp.inf)
+
+
+def select_from_masked(
+    masked: jnp.ndarray,
+    num_keypoints: int,
+    border: int = 0,
+    min_response: float = 0.0,
+    quality_level: float = 0.0,
+) -> Keypoints:
+    """Top-K selection tail over an NMS-masked response map."""
+    h, w = masked.shape
+    keep = masked > min_response
+    if quality_level > 0.0:
+        # The global max is itself a local max, so max(masked) == max(resp).
+        keep = keep & (masked > quality_level * masked.max())
+    if border > 0:
+        box = jnp.zeros_like(keep).at[border:-border, border:-border].set(True)
+        keep = keep & box
+    flat = jnp.where(keep, masked, -jnp.inf).reshape(-1)
+    scores, idx = lax.top_k(flat, num_keypoints)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    valid = jnp.isfinite(scores) & (scores > min_response)
+    return Keypoints(
+        xy=jnp.stack([xs, ys], axis=-1),
+        score=jnp.where(valid, scores, 0.0),
+        valid=valid,
+    )
+
+
 def select_keypoints(
     response: jnp.ndarray,
     num_keypoints: int,
@@ -71,36 +126,50 @@ def select_keypoints(
     `quality_level` mirrors cv2.goodFeaturesToTrack (fraction of the global
     max below which responses are dropped; klt.py:25 uses 0.01).
     """
-    h, w = response.shape
-    win = 2 * nms_radius + 1
-    pooled = lax.reduce_window(
-        response, -jnp.inf, lax.max, (win, win), (1, 1), "SAME"
+    return select_from_masked(
+        nms_masked_response(response, nms_radius),
+        num_keypoints,
+        border=border,
+        min_response=min_response,
+        quality_level=quality_level,
     )
-    # Tie-break equal maxima by flat index (second pooling pass), otherwise
-    # neighboring tied pixels would all pass the >= test and violate the
-    # NMS spacing guarantee. Flat indices stay exact in f32 up to 2^24.
-    idx_f = (
-        lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
-        + lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    ).astype(jnp.float32)
-    tied_idx = jnp.where(response >= pooled, idx_f, -1.0)
-    pooled_idx = lax.reduce_window(
-        tied_idx, -jnp.inf, lax.max, (win, win), (1, 1), "SAME"
-    )
-    is_max = (response >= pooled) & (idx_f == pooled_idx) & (response > min_response)
-    if quality_level > 0.0:
-        is_max = is_max & (response > quality_level * response.max())
-    if border > 0:
-        mask = jnp.zeros_like(is_max).at[border:-border, border:-border].set(True)
-        is_max = is_max & mask
-    masked = jnp.where(is_max, response, -jnp.inf)
-    flat = masked.reshape(-1)
-    scores, idx = lax.top_k(flat, num_keypoints)
-    ys = (idx // w).astype(jnp.float32)
-    xs = (idx % w).astype(jnp.float32)
-    valid = jnp.isfinite(scores) & (scores > min_response)
-    return Keypoints(
-        xy=jnp.stack([xs, ys], axis=-1),
-        score=jnp.where(valid, scores, 0.0),
-        valid=valid,
+
+
+def detect_keypoints(
+    image: jnp.ndarray,
+    num_keypoints: int,
+    mode: str = "shi_tomasi",
+    patch_size: int = 7,
+    kappa: float = 0.08,
+    nms_radius: int = 5,
+    border: int = 0,
+    min_response: float = 0.0,
+    quality_level: float = 0.0,
+    use_pallas: bool | None = None,
+) -> Keypoints:
+    """Corner detection front door: response + NMS + top-K.
+
+    `use_pallas=None` auto-selects the fused Pallas strip kernel on TPU
+    (one HBM pass for the whole stencil chain) and the XLA op chain
+    elsewhere; both produce identical keypoints.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vo_tpu.ops.pallas_kernels import corner_response_nms
+
+        masked = corner_response_nms(
+            image, mode=mode, patch_size=patch_size, kappa=kappa,
+            nms_radius=nms_radius,
+        )
+    else:
+        resp = (
+            harris_response(image, patch_size, kappa)
+            if mode == "harris"
+            else shi_tomasi_response(image, patch_size)
+        )
+        masked = nms_masked_response(resp, nms_radius)
+    return select_from_masked(
+        masked, num_keypoints,
+        border=border, min_response=min_response, quality_level=quality_level,
     )

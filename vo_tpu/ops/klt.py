@@ -135,8 +135,16 @@ def _lk_level(
     def sample_next(pos):  # pos (K, 2) -> (K, win, win)
         return _resample(spatch, jnp.clip(pos, 0.0, pos_hi), win)
 
-    def body(_, carry):
-        d, active = carry
+    def cond(carry):
+        d, active, it = carry
+        # Early exit once every keypoint converged (delta <= eps): inactive
+        # keypoints freeze, so stopping early is bit-identical to running the
+        # full budget — but typical frames converge in 2-4 iterations, which
+        # is most of the LK wall-time saved (cv2's criterion, klt.py:31-33).
+        return (it < max_iters) & jnp.any(active)
+
+    def body(carry):
+        d, active, it = carry
         I = sample_next(s_base + d)
         diff = T - I
         bx = jnp.sum(diff * Ix, axis=(1, 2))
@@ -148,10 +156,10 @@ def _lk_level(
         delta = jnp.where(active[:, None], delta, 0.0)
         d = d + delta
         active = active & (jnp.sum(delta * delta, axis=-1) > eps * eps)
-        return d, active
+        return d, active, it + 1
 
     d0 = jnp.zeros_like(pt_prev)
-    d, _ = lax.fori_loop(0, max_iters, body, (d0, conditioned))
+    d, _, _ = lax.while_loop(cond, body, (d0, conditioned, jnp.asarray(0, jnp.int32)))
 
     err = jnp.mean(jnp.abs(sample_next(s_base + d) - T), axis=(1, 2))
     return guess + d, conditioned, err

@@ -1,0 +1,206 @@
+"""Pallas TPU kernels for the detection front-end.
+
+The hot image-plane pipeline — Sobel gradients, structure-tensor box sums,
+Harris / Shi-Tomasi response, and non-maximum suppression (capability parity
+with reference harris.py:103-152 and the cv2.goodFeaturesToTrack criterion,
+klt.py:24-26) — is a chain of ~8 stencil passes. As separate XLA HLOs each
+pass round-trips the full image through HBM; this kernel fuses the whole
+chain into ONE pass: each grid program DMAs a row strip (+halo) from HBM
+into VMEM, runs every stencil as shifted adds/maxes on VPU registers, and
+writes a single output strip — the NMS-masked response map (response at
+strict local maxima, -inf elsewhere) ready for one lax.top_k outside.
+
+Numerics match `vo_tpu.ops.harris` + `select_keypoints` exactly (same
+zero-padding convention for the stencils, same -inf edge padding and
+flat-index tie-break for the NMS), so the XLA path remains both the CPU
+fallback and the oracle for parity tests (interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_STRIP = 64  # output rows per grid program
+
+
+def _shifted_sum(x: jnp.ndarray, taps: tuple[float, ...], axis: int) -> jnp.ndarray:
+    """1-D correlation with static taps, zero padding, on a VMEM value."""
+    r = len(taps) // 2
+    n = x.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    p = jnp.pad(x, pad)
+    out = None
+    for i, t in enumerate(taps):
+        if t == 0.0:
+            continue
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + n)
+        term = t * p[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def _shifted_max(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
+    """Separable running max over a (2r+1) window, -inf padding."""
+    n = x.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (radius, radius)
+    p = jnp.pad(x, pad, constant_values=-jnp.inf)
+    out = x
+    for i in range(2 * radius + 1):
+        if i == radius:
+            continue
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(i, i + n)
+        out = jnp.maximum(out, p[tuple(sl)])
+    return out
+
+
+def _response_strip(
+    img: jnp.ndarray,
+    mode: str,
+    patch_size: int,
+    kappa: float,
+    valid: jnp.ndarray | None = None,
+):
+    """Corner response of a strip (same math as ops/harris.py:26-50).
+
+    `valid` marks pixels inside the true image: the unfused oracle zero-pads
+    at EVERY stage boundary, so gradients must be zeroed outside the image
+    before the box sums (a strip's halo/width padding holds real pixel rows
+    or whole-image zero padding — either way those gradient entries are 0 in
+    the oracle's box sum).
+    """
+    smooth = (1.0, 2.0, 1.0)
+    diff = (-1.0, 0.0, 1.0)
+    gx = _shifted_sum(_shifted_sum(img, smooth, 0), diff, 1)
+    gy = _shifted_sum(_shifted_sum(img, smooth, 1), diff, 0)
+    if valid is not None:
+        gx = jnp.where(valid, gx, 0.0)
+        gy = jnp.where(valid, gy, 0.0)
+    ones = (1.0,) * patch_size
+    sxx = _shifted_sum(_shifted_sum(gx * gx, ones, 0), ones, 1)
+    syy = _shifted_sum(_shifted_sum(gy * gy, ones, 0), ones, 1)
+    sxy = _shifted_sum(_shifted_sum(gx * gy, ones, 0), ones, 1)
+    if mode == "harris":
+        det = sxx * syy - sxy * sxy
+        tr = sxx + syy
+        return jnp.maximum(det - kappa * tr * tr, 0.0)
+    half_tr = 0.5 * (sxx + syy)
+    rad = jnp.sqrt(jnp.maximum(0.25 * (sxx - syy) ** 2 + sxy * sxy, 0.0))
+    return jnp.maximum(half_tr - rad, 0.0)
+
+
+def _kernel(
+    img_hbm,
+    out_ref,
+    strip_vmem,
+    sem,
+    *,
+    h: int,
+    w: int,
+    halo: int,
+    mode: str,
+    patch_size: int,
+    kappa: float,
+    nms_radius: int,
+):
+    i = pl.program_id(0)
+    win = _STRIP + 2 * halo
+    # The input is row-padded by `halo` on top and to a strip multiple plus
+    # `halo` at the bottom, so every window below is statically in-bounds
+    # and padded rows are zeros — exactly the oracle's stencil convention.
+    dma = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * _STRIP, win), :], strip_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+    x = strip_vmem[:, :]
+
+    wp = x.shape[1]  # 128-aligned padded width
+    grow = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0) + (i * _STRIP - halo)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+    in_img = (grow >= 0) & (grow < h) & (gcol < w)
+    resp = _response_strip(x, mode, patch_size, kappa, valid=in_img)
+
+    # Pixels outside the true image must not produce or influence maxima:
+    # the oracle's reduce_window pads with -inf beyond the image.
+    resp = jnp.where(in_img, resp, -jnp.inf)
+
+    pooled = _shifted_max(_shifted_max(resp, nms_radius, 0), nms_radius, 1)
+    # Flat-index tie-break (same as select_keypoints): among equal maxima the
+    # largest flat index wins (indexed in TRUE image width).
+    gidx = (grow * w + gcol).astype(jnp.float32)
+    tied = jnp.where(in_img & (resp >= pooled), gidx, -1.0)
+    pooled_idx = _shifted_max(_shifted_max(tied, nms_radius, 0), nms_radius, 1)
+    is_max = (resp >= pooled) & (gidx == pooled_idx)
+    masked = jnp.where(is_max, resp, -jnp.inf)
+
+    out_ref[:, :] = masked[halo : halo + _STRIP, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "patch_size", "kappa", "nms_radius", "interpret"),
+)
+def corner_response_nms(
+    img: jnp.ndarray,
+    mode: str = "shi_tomasi",
+    patch_size: int = 7,
+    kappa: float = 0.08,
+    nms_radius: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused corner response + NMS masking (Pallas).
+
+    Returns an (H, W) map equal to the response at strict local maxima of a
+    (2*nms_radius+1)^2 window and -inf elsewhere — the fused equivalent of
+    `harris_response`/`shi_tomasi_response` plus the NMS masking inside
+    `select_keypoints` (vo_tpu/ops/harris.py), ready for one lax.top_k.
+    """
+    h, w = img.shape
+    # Stencil reach of an output row: NMS tie-break reads `pooled` at
+    # +/-nms_radius, which reads the response at +/-2*nms_radius, which reads
+    # the image at +/-(patch//2 + 1); one extra row of margin. Rounded up so
+    # the DMA window (strip + 2*halo rows) stays aligned to the f32 sublane
+    # tiling of 8 rows (Mosaic rejects unaligned VMEM slices).
+    halo = 2 * nms_radius + patch_size // 2 + 2
+    halo = (halo + 3) // 4 * 4
+    grid = (h + _STRIP - 1) // _STRIP
+    wp = (w + 127) // 128 * 128  # lane-aligned width for the DMA slices
+    imgp = jnp.pad(
+        img.astype(jnp.float32),
+        ((halo, grid * _STRIP + halo - h), (0, wp - w)),
+    )
+
+    kern = functools.partial(
+        _kernel,
+        h=h,
+        w=w,
+        halo=halo,
+        mode=mode,
+        patch_size=patch_size,
+        kappa=kappa,
+        nms_radius=nms_radius,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (_STRIP, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid * _STRIP, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_STRIP + 2 * halo, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(imgp)
+    return out[:h, :w]

@@ -122,6 +122,51 @@ def _kabsch(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray | None = None):
     return T
 
 
+def _normalize(v: jnp.ndarray) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def _triad_frame(p: jnp.ndarray) -> jnp.ndarray:
+    """Right-handed orthonormal frame (columns) from 3 points (3, 3)."""
+    e1 = _normalize(p[1] - p[0])
+    u = p[2] - p[0]
+    e2 = _normalize(u - jnp.dot(u, e1) * e1)
+    e3 = jnp.cross(e1, e2)
+    return jnp.stack([e1, e2, e3], axis=-1)  # (3, 3) columns
+
+
+def _triad_rigid(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Rigid transform dst = R @ src + t from EXACT 3-point correspondences.
+
+    The TRIAD construction: build right-handed orthonormal frames from both
+    triangles; R maps one frame onto the other. For exact correspondences
+    (what P3P back-substitution produces, up to f32 noise) this equals the
+    Kabsch/SVD solution — with zero SVDs, so it stays on the VPU when vmapped
+    over RANSAC hypotheses (the batched 3x3 SVD was the single hottest op in
+    the localization path on TPU).
+    """
+    E = _triad_frame(src)
+    F = _triad_frame(dst)
+    R = F @ E.T
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    t = mu_d - R @ mu_s
+    return jnp.eye(4, dtype=src.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
+
+
+def _solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 solve by Cramer's rule (pure VPU arithmetic — batched LU
+    with pivoting is scalar-heavy on TPU). A: (..., 3, 3), b: (..., 3)."""
+    c0, c1, c2 = A[..., :, 0], A[..., :, 1], A[..., :, 2]
+    c1xc2 = jnp.cross(c1, c2)
+    det = jnp.sum(c0 * c1xc2, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) < 1e-20, 0.0, 1.0 / det)
+    x0 = jnp.sum(b * c1xc2, axis=-1)
+    x1 = jnp.sum(b * jnp.cross(c2, c0), axis=-1)
+    x2 = jnp.sum(b * jnp.cross(c0, c1), axis=-1)
+    return jnp.stack([x0, x1, x2], axis=-1) * inv_det[..., None]
+
+
 def p3p_grunert(X_w: jnp.ndarray, rays: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Grunert P3P: 3 world points + 3 unit bearing rays -> up to 4 poses.
 
@@ -200,7 +245,7 @@ def p3p_grunert(X_w: jnp.ndarray, rays: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
             ],
             axis=-2,
         )
-        delta = jnp.linalg.solve(J, -F[..., None])[..., 0]
+        delta = _solve3(J, -F)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         return si + delta
 
@@ -212,10 +257,11 @@ def p3p_grunert(X_w: jnp.ndarray, rays: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
     s_polished = jnp.where(keep[..., None], s_polished, s_init)
     s1, s2, s3 = s_polished[..., 0], s_polished[..., 1], s_polished[..., 2]
 
-    # Camera-frame points per candidate, then absolute orientation.
+    # Camera-frame points per candidate, then absolute orientation (TRIAD —
+    # exact for minimal correspondences, no SVD in the RANSAC hot loop).
     s = jnp.stack([s1, s2, s3], axis=-1)  # (4 candidates, 3 points)
     Xc = s[:, :, None] * rays[None, :, :]  # (4, 3, 3)
-    T = jax.vmap(lambda xc: _kabsch(X_w, xc))(Xc.astype(dtype))  # world -> camera
+    T = jax.vmap(lambda xc: _triad_rigid(X_w, xc))(Xc.astype(dtype))
     return T, valid
 
 

@@ -25,6 +25,9 @@ class DetectorConfig:
     border: int = 16
     quality_level: float = 0.01  # ref klt.py:25
     min_dist_to_live: float = 8.0  # suppression radius vs existing tracks
+    # Fused Pallas response+NMS kernel: True/False force it, None = auto
+    # (use it on TPU, XLA path elsewhere).
+    use_pallas: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)
