@@ -80,3 +80,39 @@ def test_detect_keypoints_auto_is_xla_on_cpu():
     b = select_keypoints(resp, 64, nms_radius=5, border=8)
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy))
+
+
+def test_patch_gather_matches_dynamic_slice():
+    from vo_tpu.ops.pallas_kernels import extract_patches_aligned
+
+    img = jnp.asarray(RNG.uniform(0, 255, (120, 400)).astype(np.float32))
+    for size, n in [(21, 70), (35, 64)]:
+        # Corners such that the aligned cover region stays in bounds.
+        rh = (size + 14) // 8 * 8
+        rw = (size + 254) // 128 * 128
+        xs = RNG.integers(0, 400 - rw + 1, n) if 400 >= rw else np.zeros(n, int)
+        ys = RNG.integers(0, 120 - rh + 1, n)
+        corners = jnp.asarray(np.stack([xs, ys], -1).astype(np.int32))
+        got = extract_patches_aligned(img, corners, size, interpret=True)
+        import jax as _jax
+
+        want = _jax.vmap(
+            lambda c: _jax.lax.dynamic_slice(img, (c[1], c[0]), (size, size))
+        )(corners)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pyramidal_lk_pallas_flag_cpu_fallback():
+    # On CPU use_pallas=None must resolve to the XLA path and track exactly
+    # like use_pallas=False.
+    from vo_tpu.ops.image import build_pyramid
+    from vo_tpu.ops.klt import pyramidal_lk
+
+    img0 = RNG.uniform(0, 255, (100, 160)).astype(np.float32)
+    shift = np.roll(img0, (2, 3), axis=(0, 1)).astype(np.float32)
+    p0 = build_pyramid(jnp.asarray(img0), 2)
+    p1 = build_pyramid(jnp.asarray(shift), 2)
+    xy = jnp.asarray(RNG.uniform(30, 70, (32, 2)).astype(np.float32))
+    a = pyramidal_lk(p0, p1, xy, radius=8)
+    b = pyramidal_lk(p0, p1, xy, radius=8, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy))

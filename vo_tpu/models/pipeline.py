@@ -200,6 +200,7 @@ def bootstrap(
             pyr0, list(pyr1), kps.xy,
             radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
             max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
+            use_pallas=cfg.klt.use_pallas,
         )
         desc1, sigma1 = kps.desc, kps.sigma
     else:
@@ -321,6 +322,7 @@ def vo_step(
             list(state.pyramid), list(pyr_new), table.xy,
             radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
             max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
+            use_pallas=cfg.klt.use_pallas,
         )
         det = None
         used = jnp.zeros((cfg.capacity,), bool)

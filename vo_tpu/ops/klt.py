@@ -44,9 +44,18 @@ class TrackResult(NamedTuple):
     err: jnp.ndarray  # (K,) mean |I_next - I_prev| over the window
 
 
-def _extract_patches(img: jnp.ndarray, corner: jnp.ndarray, size: int) -> jnp.ndarray:
-    """(K, size, size) contiguous patches at integer corners (vmapped
-    dynamic_slice = one block gather). Corners must be in range."""
+def _extract_patches(
+    img: jnp.ndarray, corner: jnp.ndarray, size: int, use_pallas: bool = False
+) -> jnp.ndarray:
+    """(K, size, size) contiguous patches at integer corners.
+
+    XLA path: vmapped dynamic_slice (one gather). TPU path: the Pallas
+    per-keypoint DMA gather (ops/pallas_kernels.py, ~2.7x faster) — callers
+    must over-pad the image by the aligned-region cover (see _lk_level)."""
+    if use_pallas:
+        from vo_tpu.ops.pallas_kernels import extract_patches_aligned
+
+        return extract_patches_aligned(img, corner, size)
 
     def one(c):
         return lax.dynamic_slice(img, (c[1], c[0]), (size, size))
@@ -85,6 +94,7 @@ def _lk_level(
     max_iters: int,
     eps: float,
     min_eig_threshold: float,
+    use_pallas: bool = False,
 ):
     """One pyramid level of Bouguet LK for all keypoints. Returns
     (flow (K,2), conditioned (K,) bool, err (K,))."""
@@ -96,6 +106,13 @@ def _lk_level(
     pad = radius + MARGIN + 2
     prev_p = jnp.pad(prev_img, pad, mode="edge")
     next_p = jnp.pad(next_img, pad, mode="edge")
+    if use_pallas:
+        # The Pallas DMA gather reads tile-ALIGNED regions covering each
+        # patch; over-pad bottom/right with zeros (never sampled — resample
+        # positions stay within the true patch span) so every aligned region
+        # is in bounds without clamping.
+        prev_p = jnp.pad(prev_p, ((0, 48), (0, 256)))
+        next_p = jnp.pad(next_p, ((0, 48), (0, 256)))
     bound = jnp.asarray([w - 1.0, h - 1.0])
 
     # ---- Template + gradients: one patch, one (win+2) resample ------------
@@ -103,7 +120,7 @@ def _lk_level(
     pt_c = jnp.clip(pt_prev, 0.0, bound)
     base = jnp.floor(pt_c)
     tcorner = base.astype(jnp.int32) - radius - 2 + pad
-    tpatch = _extract_patches(prev_p, tcorner, tp_size)
+    tpatch = _extract_patches(prev_p, tcorner, tp_size, use_pallas)
     # Window corner (float) of the (win+2)-sized extended template inside
     # the patch: frac + 1 (one-cell gradient margin).
     tfrac = pt_c - base
@@ -127,7 +144,7 @@ def _lk_level(
     sp_size = win + 2 * MARGIN + 2
     center0 = jnp.clip(pt_prev + guess, 0.0, bound)
     scorner = jnp.floor(center0).astype(jnp.int32) - radius - MARGIN + pad
-    spatch = _extract_patches(next_p, scorner, sp_size)
+    spatch = _extract_patches(next_p, scorner, sp_size, use_pallas)
     # Float window corner relative to the search patch (normally MARGIN+frac).
     s_base = (center0 - radius) + pad - scorner.astype(jnp.float32)  # (K, 2)
     pos_hi = float(sp_size - win - 1) - 1e-4
@@ -174,6 +191,7 @@ def pyramidal_lk(
     eps: float = 0.03,
     max_err: float = 25.0,
     min_eig_threshold: float = 1e-4,
+    use_pallas: bool | None = None,
 ) -> TrackResult:
     """Track keypoints from prev to next frame across a Gaussian pyramid.
 
@@ -186,8 +204,12 @@ def pyramidal_lk(
       max_err: mean-abs-diff gate; cv2-compatible scale for [0,255] images
           (the reference thresholds cv2's error at 100, klt.py:39 — default
           here is stricter since we also gate on conditioning).
+      use_pallas: route patch extraction through the Pallas DMA gather;
+          None = auto (TPU backend only). Numerically identical either way.
     Returns TrackResult with fixed shapes.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     levels = len(prev_pyr)
     flow = jnp.zeros_like(xy)
     conditioned = jnp.ones(xy.shape[0], bool)
@@ -203,6 +225,7 @@ def pyramidal_lk(
             max_iters,
             eps,
             min_eig_threshold,
+            use_pallas,
         )
         if lvl > 0:
             flow = flow * 2.0

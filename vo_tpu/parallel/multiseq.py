@@ -33,14 +33,16 @@ def replicate_state(state: VOState, batch: int) -> VOState:
 @partial(jax.jit, static_argnames=("cfg",))
 def batched_vo_step(states: VOState, images: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig):
     """vmapped per-frame step: states/images/K carry a leading batch axis."""
-    # Force the XLA detection path under vmap: the fused Pallas strip kernel
-    # is written for the single-image grid (vmapping its manual-DMA grid is
-    # not supported), and under a batch the XLA stencil chain pipelines
-    # across sequences anyway.
+    # Force the XLA paths under vmap: the Pallas kernels (detection strip
+    # kernel, LK patch gather) are written for the single-image grid —
+    # vmapping their manual-DMA grids is not supported — and under a batch
+    # the XLA chains pipeline across sequences anyway.
     import dataclasses
 
     cfg = dataclasses.replace(
-        cfg, detector=dataclasses.replace(cfg.detector, use_pallas=False)
+        cfg,
+        detector=dataclasses.replace(cfg.detector, use_pallas=False),
+        klt=dataclasses.replace(cfg.klt, use_pallas=False),
     )
     return jax.vmap(lambda s, i, k: vo_step(s, i, k, cfg))(states, images, K)
 

@@ -61,6 +61,8 @@ class KLTConfig:
     eps: float = 0.03
     max_err: float = 25.0
     min_eig_threshold: float = 1e-4
+    # Pallas DMA patch gather: True/False force, None = auto (TPU only).
+    use_pallas: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)
