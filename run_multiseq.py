@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Multi-sequence VO evaluation driver (data-parallel scaling).
+
+Runs B independent sequences in lockstep through ONE batched, jitted device
+program (`batched_vo_rollout`), the TPU-native throughput-scaling mode for an
+inherently sequential task (SURVEY §7 "hard parts": frame t+1 needs pose t,
+so latency per sequence is fixed — aggregate frames/s scales with the batch
+and, on a pod, with chips over the mesh "data" axis).
+
+Reference contrast: the reference processes exactly one sequence in one
+python loop (src/main.py:248). Nothing like a suite evaluator exists there.
+
+Examples:
+  # 4 lockstep copies of the KITTI 05 micro-dataset on the real chip
+  python run_multiseq.py --data-root /root/reference/tests/test_data \
+      --sequences 05,05,05,05 --steps 40
+
+  # scaling sweep: aggregate fps at B = 1, 2, 4, 8
+  python run_multiseq.py --data-root /root/reference/tests/test_data \
+      --sweep 1,2,4,8 --steps 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[1])
+    p.add_argument("--dataset", choices=["kitti", "malaga", "parking"], default="kitti")
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--sequences", default="05",
+                   help="comma-separated KITTI sequence ids (one per batch lane)")
+    p.add_argument("--sweep", default="",
+                   help="comma-separated batch sizes: replicate sequence 0 and "
+                        "report aggregate fps per size")
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--capacity", type=int, default=512)
+    p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vo_tpu.data import Sequence, ate_rmse
+    from vo_tpu.data.evaluate import positions_from_poses
+    from vo_tpu.models.pipeline import bootstrap
+    from vo_tpu.parallel.mesh import make_mesh
+    from vo_tpu.parallel.multiseq import (
+        batched_vo_rollout,
+        replicate_state,
+        shard_batched_state,
+    )
+    from vo_tpu.utils.config import VOConfig
+
+    cfg = VOConfig(capacity=args.capacity)
+
+    def load(seq_id):
+        seq = Sequence(args.dataset, path=args.data_root, kitti_sequence=seq_id)
+        imgs = [jnp.asarray(seq.get_frame(i)) for i in range(len(seq))]
+        return seq, imgs
+
+    def frame_plan(n_imgs, steps):
+        # Ping-pong frame order keeps motion physical on short sequences.
+        order = list(range(3, n_imgs)) + list(range(n_imgs - 2, 0, -1)) + [1, 2]
+        return (order * (steps // len(order) + 1))[:steps]
+
+    def run_batch(seq_ids):
+        b = len(seq_ids)
+        loaded = [load(s) for s in seq_ids]
+        K = jnp.asarray(loaded[0][0].K)
+        Ks = jnp.broadcast_to(K, (b, 3, 3))
+        mesh = make_mesh(n_data=min(b, len(jax.devices())), n_model=1)
+
+        # Bootstrap each lane, then stack states along the batch axis.
+        states = []
+        for i, (seq, imgs) in enumerate(loaded):
+            st, _ = bootstrap(imgs[0], imgs[2], K, cfg, jax.random.PRNGKey(2023 + i))
+            states.append(st)
+        batched = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states
+        ) if b > 1 else replicate_state(states[0], 1)
+        batched = shard_batched_state(batched, mesh)
+
+        plans = [frame_plan(len(imgs), args.steps) for (_, imgs) in loaded]
+        stack = jnp.stack(
+            [
+                jnp.stack([loaded[i][1][f] for i, plan in enumerate(plans) for f in [plan[n]]])
+                for n in range(args.steps)
+            ]
+        )  # (N, B, H, W)
+
+        w_state, w_out = batched_vo_rollout(batched, stack, Ks, cfg)
+        np.asarray(w_out.pose[-1])  # warmup fetch
+        t0 = time.perf_counter()
+        _, outs = batched_vo_rollout(batched, stack, Ks, cfg)
+        np.asarray(outs.pose[-1])
+        dt = time.perf_counter() - t0
+        agg_fps = args.steps * b / dt
+
+        # Per-lane ATE over the true forward pass (frames 3..len-1).
+        ates = []
+        for i, (seq, imgs) in enumerate(loaded):
+            if seq.gt_poses is None:
+                ates.append(None)
+                continue
+            fwd = len(imgs) - 3
+            est = np.concatenate(
+                [
+                    np.stack([np.eye(4, dtype=np.float32), np.asarray(states[i].pose)]),
+                    np.asarray(outs.pose[:fwd, i]),
+                ]
+            )
+            gt = seq.gt_poses[[0, 2] + list(range(3, len(imgs)))]
+            ates.append(
+                round(float(ate_rmse(positions_from_poses(est), positions_from_poses(gt))), 5)
+            )
+        return agg_fps, ates
+
+    if args.sweep:
+        rows = []
+        base = None
+        for b in [int(x) for x in args.sweep.split(",")]:
+            fps, _ = run_batch([args.sequences.split(",")[0]] * b)
+            base = base or fps
+            rows.append({"batch": b, "agg_fps": round(fps, 2),
+                         "scaling": round(fps / base, 3)})
+            print(json.dumps(rows[-1]), flush=True)
+        print(json.dumps({"metric": "multiseq_scaling", "rows": rows}))
+    else:
+        seq_ids = args.sequences.split(",")
+        fps, ates = run_batch(seq_ids)
+        print(
+            json.dumps(
+                {
+                    "metric": "multiseq_throughput",
+                    "batch": len(seq_ids),
+                    "agg_fps": round(fps, 2),
+                    "ate_rmse_m": ates,
+                    "device": str(jax.devices()[0]),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,3 +56,19 @@ def shard_batched_state(states: VOState, mesh: Mesh) -> VOState:
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, states)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_vo_rollout(states: VOState, images: jnp.ndarray, Ks: jnp.ndarray, cfg: VOConfig):
+    """Scan `batched_vo_step` over a stacked (N, B, H, W) frame block.
+
+    The whole multi-sequence loop runs as one device program: N sequential
+    frames of B independent sequences in lockstep (B sharded over the mesh
+    "data" axis when the states/images are placed with
+    `shard_batched_state` / `data_sharding`). Returns the final batched
+    state and per-frame stacked StepOutputs with shape (N, B, ...)."""
+
+    def body(st, img):
+        return batched_vo_step(st, img, Ks, cfg)
+
+    return jax.lax.scan(body, states, images)
