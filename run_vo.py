@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--map-pdf", default="", help="write final 3-D point-cloud figure")
     p.add_argument("--save-npz", default="", help="save poses/stats to .npz")
     p.add_argument("--profile-dir", default="", help="jax.profiler trace directory")
+    p.add_argument("--debug-validate", action="store_true",
+                   help="run the feature-table invariant validator every frame "
+                        "(the reference's runtime asserts, SURVEY §5)")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable the native decode-ahead frame prefetcher")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -118,8 +123,18 @@ def main(argv=None):
     t_loop = time.time()
     compile_time = 0.0
     first_i = start_frame
+    fps_meter = viz.FpsMeter()
+    # Decode-ahead: the native C++ prefetch ring (native/frame_loader.cc)
+    # keeps decode off the critical path; PIL fallback decodes lazily.
+    prefetch = None
+    if not args.no_prefetch:
+        try:
+            prefetch = seq.prefetch(start=start_frame)
+        except TypeError:  # iterator fallback path has no start arg
+            prefetch = None
     for i in range(start_frame, n_frames):
-        img = jnp.asarray(seq.get_frame(i))
+        raw = prefetch.get(i - start_frame) if prefetch is not None else seq.get_frame(i)
+        img = jnp.asarray(raw)
         t0 = time.time()
         state, out = vo_step(state, img, K, cfg)
         jax.block_until_ready(out.pose)
@@ -139,8 +154,15 @@ def main(argv=None):
                             trajectory=poses, frame_ids=frame_ids)
             if not args.quiet:
                 print(f"[vo_tpu] checkpoint @ frame {i} -> {args.checkpoint}")
+        fps_meter.tick()
+        if args.debug_validate:
+            from vo_tpu.models.feature_table import debug_validate
+
+            violations = debug_validate(state.table)
+            if violations:
+                raise AssertionError(f"frame {i}: invariants violated: {violations}")
         if not args.quiet:
-            print(f"[vo_tpu] frame {i:5d} {1.0/max(dt,1e-9):6.1f} fps  {viz.hud_text(out)}"
+            print(f"[vo_tpu] frame {i:5d} {fps_meter.text()}  {viz.hud_text(out)}"
                   + ("" if bool(out.pose_ok) else "  [POSE FALLBACK]"))
         if args.viz_dir:
             tab = state.table
@@ -149,10 +171,9 @@ def main(argv=None):
                 np.asarray(tab.track_xy),
             )
             os.makedirs(args.viz_dir, exist_ok=True)
-            import cv2
+            from PIL import Image
 
-            cv2.imwrite(os.path.join(args.viz_dir, f"{i:06d}.png"),
-                        cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+            Image.fromarray(rgb).save(os.path.join(args.viz_dir, f"{i:06d}.png"))
 
     steady = [s["dt"] for s in stats[1:]] or [compile_time]
     wall = time.time() - t_loop

@@ -172,14 +172,37 @@ class Sequence:
     def get_frame(self, idx: int) -> np.ndarray:
         return _imread_gray(self.frames[idx])
 
-    def prefetch(self, n_threads: int = 4, ring: int = 8):
-        """Decode-ahead frame iterator backed by the native C++ thread pool
-        (falls back to lazy synchronous decode when the library is absent)."""
+    def prefetch(self, n_threads: int = 4, ring: int = 8, start: int = 0):
+        """Decode-ahead frame source backed by the native C++ thread pool.
+
+        Returns a FramePrefetcher over frames[start:] — `get(i)` yields frame
+        `start + i` (strictly sequential). Falls back to a lazy synchronous
+        shim with the same `.get` interface when the library is absent."""
+        paths = list(self.frames[start:])
         if native_loader.available():
             return native_loader.FramePrefetcher(
-                list(self.frames), n_threads=n_threads, ring=ring
+                paths, n_threads=n_threads, ring=ring
             )
-        return iter(self)
+
+        class _Lazy:
+            n = len(paths)
+
+            def get(self, i):
+                return _imread_gray(paths[i])
+
+            def __iter__(self):
+                return (self.get(i) for i in range(self.n))
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return None
+
+            def close(self):
+                return None
+
+        return _Lazy()
 
     def __len__(self) -> int:
         return len(self.frames)

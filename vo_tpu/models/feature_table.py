@@ -150,3 +150,54 @@ def fill_free_slots(
         ),
         next_uid + n_added,
     )
+
+
+def debug_validate(table: FeatureTable) -> list[str]:
+    """Host-side invariant checks — the reference enforces its state machine
+    with dense runtime asserts (features.py:136-222 congruence asserts,
+    matches.py:82-104 / state.py:76-88 NaN and already-triangulated guards;
+    SURVEY §5 calls these asserts "the spec"). In the TPU build the jitted
+    step cannot assert, so the same spec lives here as an explicit validator
+    for tests and debug-mode drivers. Returns a list of violation messages
+    (empty = valid).
+    """
+    import numpy as np
+
+    xy = np.asarray(table.xy)
+    lm = np.asarray(table.landmark)
+    st = np.asarray(table.state)
+    txy = np.asarray(table.track_xy)
+    tp = np.asarray(table.track_pose)
+    uid = np.asarray(table.uid)
+    k = st.shape[0]
+    errs: list[str] = []
+
+    def chk(cond, msg):
+        if not cond:
+            errs.append(msg)
+
+    # Congruence (features.py:136-222): every lane has one row per slot.
+    chk(xy.shape == (k, 2), f"xy shape {xy.shape} != ({k}, 2)")
+    chk(lm.shape == (k, 3), f"landmark shape {lm.shape} != ({k}, 3)")
+    chk(txy.shape == (k, 2), f"track_xy shape {txy.shape} != ({k}, 2)")
+    chk(tp.shape == (k, 16), f"track_pose shape {tp.shape} != ({k}, 16)")
+    # State domain (features.py:41-43 + empty).
+    chk(bool(np.isin(st, [-1, 0, 1, 2]).all()), "state outside {-1,0,1,2}")
+    live = st >= 0
+    # NaN guards (matches.py:82-104): live slots carry finite geometry.
+    chk(bool(np.isfinite(xy[live]).all()), "non-finite keypoint on live slot")
+    chk(bool(np.isfinite(txy[live]).all()), "non-finite track_xy on live slot")
+    chk(bool(np.isfinite(tp[live]).all()), "non-finite track_pose on live slot")
+    # Triangulated slots carry a finite landmark (state.py:76-88).
+    tri = st == 2
+    chk(bool(np.isfinite(lm[tri]).all()), "non-finite landmark on state==2")
+    # Track-start poses are rigid transforms (bottom row 0 0 0 1).
+    if live.any():
+        bottom = tp[live].reshape(-1, 4, 4)[:, 3, :]
+        chk(
+            bool(np.allclose(bottom, [0.0, 0.0, 0.0, 1.0], atol=1e-5)),
+            "track_pose bottom row != [0,0,0,1]",
+        )
+    # uid uniqueness over live slots (klt.py:69-81: uids identify tracks).
+    chk(len(np.unique(uid[live])) == int(live.sum()), "duplicate uid on live slots")
+    return errs

@@ -149,3 +149,29 @@ def save_trajectory_plot(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, bbox_inches="tight")
     plt.close(fig)
+
+
+class FpsMeter:
+    """Rolling-average frames/s, parity with the reference's `display_fps`
+    HUD overlay (overlays.py:8-38: deque of frame periods, averaged)."""
+
+    def __init__(self, window: int = 20):
+        from collections import deque
+
+        self._dts = deque(maxlen=window)
+        self._last = None
+
+    def tick(self, now: float | None = None) -> float:
+        import time as _time
+
+        now = _time.perf_counter() if now is None else now
+        if self._last is not None:
+            self._dts.append(now - self._last)
+        self._last = now
+        if not self._dts:
+            return 0.0
+        return len(self._dts) / sum(self._dts)
+
+    def text(self) -> str:
+        fps = len(self._dts) / sum(self._dts) if self._dts else 0.0
+        return f"FPS: {fps:5.1f}"
