@@ -8,9 +8,11 @@
 // so the jitted VO step never waits on image IO. Python binds via ctypes
 // (vo_tpu/data/native_loader.py) — no pybind11 dependency.
 //
-// Grayscale conversion matches PIL's `convert("L")` exactly for RGB PNGs
+// Grayscale conversion matches PIL's `convert("L")` exactly for 8-bit PNGs
 // (ITU-R 601-2 fixed point: (R*19595 + G*38470 + B*7471 + 0x8000) >> 16) so
 // the Python fallback path and the native path produce identical tensors.
+// 16-bit PNGs are DECLINED (decode returns an error) because the two
+// libraries narrow 16->8 bits differently; callers fall back to PIL there.
 // JPEG decode delegates grayscale conversion to libjpeg (same BT.601 weights,
 // its own fixed-point rounding — parity within +/-1 LSB).
 
@@ -92,13 +94,19 @@ int png_decode_gray(FILE* fp, float* out, int h, int w) {
     png_destroy_read_struct(&png, &info, nullptr);
     return kErr;
   }
-  // Normalize every input to 8-bit gray or RGB.
+  // Normalize every input to 8-bit gray or RGB. 16-bit inputs are declined:
+  // libpng's strip-16 (keep high byte) and PIL's convert("L") (clamp at 255)
+  // narrow differently, so the parity contract with the Python fallback
+  // cannot hold — callers fall back to PIL for those.
   png_byte color = png_get_color_type(png, info);
   png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErr;
+  }
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (depth == 16) png_set_strip_16(png);
   if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) {
     png_set_tRNS_to_alpha(png);

@@ -114,14 +114,17 @@ def main(argv=None):
             if seq.gt_poses is None:
                 ates.append(None)
                 continue
-            fwd = len(imgs) - 3
+            # Clamp to the frames the rollout actually executed: the scan ran
+            # args.steps frames, of which only the first len(imgs)-3 are the
+            # true forward pass (the rest is ping-pong replay).
+            fwd = min(len(imgs) - 3, args.steps)
             est = np.concatenate(
                 [
                     np.stack([np.eye(4, dtype=np.float32), np.asarray(states[i].pose)]),
                     np.asarray(outs.pose[:fwd, i]),
                 ]
             )
-            gt = seq.gt_poses[[0, 2] + list(range(3, len(imgs)))]
+            gt = seq.gt_poses[[0, 2] + list(range(3, 3 + fwd))]
             ates.append(
                 round(float(ate_rmse(positions_from_poses(est), positions_from_poses(gt))), 5)
             )

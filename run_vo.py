@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--viz-dir", default="", help="write keypoint-overlay PNGs here")
     p.add_argument("--trajectory-pdf", default="", help="write final trajectory figure")
     p.add_argument("--map-pdf", default="", help="write final 3-D point-cloud figure")
+    p.add_argument("--landmarks-pdf", default="",
+                   help="write per-frame landmark-count history figure "
+                        "(ref main.py:144-165 plot_nr_of_landmarks)")
     p.add_argument("--save-npz", default="", help="save poses/stats to .npz")
     p.add_argument("--profile-dir", default="", help="jax.profiler trace directory")
     p.add_argument("--debug-validate", action="store_true",
@@ -210,6 +213,17 @@ def main(argv=None):
         viz.save_point_cloud_plot(args.map_pdf, lm, est,
                                   title=f"{args.dataset} map")
         print(f"[vo_tpu] wrote {args.map_pdf}")
+
+    if args.landmarks_pdf:
+        viz.save_landmark_history_plot(
+            args.landmarks_pdf,
+            np.asarray([s["frame"] for s in stats]),
+            np.asarray([s["tri"] for s in stats]),
+            np.asarray([s["cand"] for s in stats]),
+            np.asarray([s["tracked"] for s in stats]),
+            title=f"{args.dataset} landmark history",
+        )
+        print(f"[vo_tpu] wrote {args.landmarks_pdf}")
 
     if args.save_npz:
         os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)

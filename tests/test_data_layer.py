@@ -56,23 +56,60 @@ def test_parking_loader_synthetic_dir(tmp_path):
     assert seq.get_frame(1).mean() == 1.0
 
 
-def test_malaga_loader_synthetic_dir(tmp_path):
+def _make_malaga_dir(tmp_path, n_frames=2):
+    """Reference-parity Malaga layout (loader.py:100-158): Images/ +
+    one camera_params txt per variant, sections CAMERA_* / CAMERA_PARAMS_*,
+    values with `// comment` suffixes."""
     import cv2
 
     root = tmp_path / "malaga" / "malaga-urban-dataset-extract-07"
-    imdir = root / "malaga-urban-dataset-extract-07_rectified_800x600_Images"
+    imdir = root / "Images"
     imdir.mkdir(parents=True)
-    (root / "camera_params_rectified_a=0_800x600.txt").write_text(
-        "[CAMERA_PARAMS]\ncx=400.0\ncy=300.0\nfx=621.18\nfy=621.18\n"
-    )
-    for i in range(2):
-        cv2.imwrite(str(imdir / f"img_CAMERA1_{i}_left.jpg"),
-                    np.zeros((12, 16), np.uint8))
-        cv2.imwrite(str(imdir / f"img_CAMERA1_{i}_right.jpg"),
-                    np.zeros((12, 16), np.uint8))
+    for name, sec in [
+        ("camera_params_rectified_a=0_1024x768.txt", "CAMERA"),
+        ("camera_params_rectified_a=0_800x600.txt", "CAMERA"),
+        ("camera_params_raw_1024x768.txt", "CAMERA_PARAMS"),
+    ]:
+        scale = 0.5 if "800" in name else 1.0
+        (root / name).write_text(
+            f"[{sec}_LEFT]\n"
+            f"cx={512.0 * scale} // principal point\ncy={384.0 * scale}\n"
+            f"fx={795.11 * scale}\nfy={795.11 * scale}\n"
+            f"[{sec}_RIGHT]\n"
+            f"cx={510.0 * scale}\ncy={380.0 * scale}\n"
+            f"fx={794.0 * scale}\nfy={794.0 * scale}\n"
+        )
+    for i in range(n_frames):
+        for side in ("left", "right"):
+            cv2.imwrite(str(imdir / f"img_CAMERA1_{i}_{side}.jpg"),
+                        np.zeros((12, 16), np.uint8))
+    return root
+
+
+def test_malaga_loader_rectified(tmp_path):
+    _make_malaga_dir(tmp_path)
     seq = Sequence("malaga", path=str(tmp_path))
-    assert len(seq) == 2  # only *_left.jpg
-    assert abs(seq.K[0, 0] - 621.18) < 1e-5
+    assert len(seq) == 2  # only *left.jpg
+    assert abs(seq.K[0, 0] - 795.11) < 1e-4
+    assert abs(seq.K[0, 2] - 512.0) < 1e-5  # `// comment` suffix stripped
+
+
+def test_malaga_loader_variants(tmp_path):
+    _make_malaga_dir(tmp_path)
+    lowres = Sequence("malaga", path=str(tmp_path), use_lowres=True)
+    assert abs(lowres.K[0, 0] - 795.11 * 0.5) < 1e-4
+    raw = Sequence("malaga", path=str(tmp_path), rectified=False)
+    assert abs(raw.K[0, 0] - 795.11) < 1e-4  # CAMERA_PARAMS_LEFT section
+    right = Sequence("malaga", path=str(tmp_path), camera=1)
+    assert abs(right.K[0, 0] - 794.0) < 1e-4
+    assert all(p.endswith("right.jpg") for p in right.frames)
+
+
+def test_malaga_loader_missing_intrinsics_raises(tmp_path):
+    root = _make_malaga_dir(tmp_path)
+    (root / "camera_params_rectified_a=0_1024x768.txt").unlink()
+    with pytest.raises(FileNotFoundError):
+        Sequence("malaga", path=str(tmp_path))
 
 
 def test_umeyama_recovers_planted_sim3(rng):

@@ -100,3 +100,40 @@ def test_sequence_uses_native_path():
     np.testing.assert_array_equal(f0, _pil_gray(KITTI_IMAGES[0]))
     with seq.prefetch(n_threads=2, ring=3) as pf:
         np.testing.assert_array_equal(pf.get(0), f0)
+
+
+def test_16bit_png_declined_natively_falls_back_to_pil(tmp_path):
+    """16-bit PNGs: libpng strip-16 and PIL convert('L') narrow differently,
+    so the native path DECLINES them (returns an error) and _imread_gray
+    falls back to PIL — pinning the intended behavior (ADVICE r1)."""
+    from PIL import Image
+
+    from vo_tpu.data.loaders import _imread_gray, _imread_gray_pil
+
+    rng = np.random.default_rng(11)
+    deep = rng.integers(0, 65536, size=(24, 32), dtype=np.uint16)
+    p = str(tmp_path / "deep.png")
+    Image.fromarray(deep).save(p)  # uint16 -> 16-bit grayscale PNG
+    with pytest.raises(IOError):
+        nl.decode_gray(p)
+    np.testing.assert_array_equal(_imread_gray(p), _imread_gray_pil(p))
+
+
+def test_prefetcher_get_advances_past_decode_failure(tmp_path):
+    """One bad frame raises once; the next get() serves the next frame
+    instead of permanently desynchronizing (ADVICE r1)."""
+    from PIL import Image
+
+    good0 = str(tmp_path / "a.png")
+    bad = str(tmp_path / "b.png")
+    good1 = str(tmp_path / "c.png")
+    img = np.arange(12 * 16, dtype=np.uint8).reshape(12, 16)
+    Image.fromarray(img, "L").save(good0)
+    Image.fromarray(img + 1, "L").save(good1)
+    with open(bad, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really")
+    with nl.FramePrefetcher([good0, bad, good1], n_threads=1, ring=2) as pf:
+        np.testing.assert_array_equal(pf.get(0), img.astype(np.float32))
+        with pytest.raises(IOError):
+            pf.get(1)
+        np.testing.assert_array_equal(pf.get(2), (img + 1).astype(np.float32))

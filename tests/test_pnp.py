@@ -142,3 +142,28 @@ def test_project_T_matches_cv2(rng):
     cv, _ = cv2.projectPoints(X_w.astype(np.float64), rvec, T_cw[:3, 3].astype(np.float64),
                               K.astype(np.float64), None)
     np.testing.assert_allclose(ours, cv[:, 0, :], atol=1e-2)
+
+
+def test_p3p_collinear_sample_rejected():
+    """(Near-)collinear minimal samples must be gated out (the TRIAD frame is
+    noise-dominated there, unlike the Kabsch path it replaced — ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from vo_tpu.ops.pnp import p3p_solve_sample, project_T
+
+    K = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], jnp.float32)
+    T_true = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(2.0)
+    # Three exactly-collinear points + one off-line disambiguation point.
+    X = jnp.asarray(
+        [[0.0, 0.0, 10.0], [1.0, 0.0, 10.0], [2.0, 0.0, 10.0], [0.5, 2.0, 9.0]],
+        jnp.float32,
+    )
+    uv = project_T(T_true, K, X)
+    _, ok = p3p_solve_sample(X, uv, K)
+    assert not bool(ok)
+    # A well-conditioned sample still solves.
+    X2 = X.at[2].set(jnp.asarray([0.0, 1.5, 11.0]))
+    uv2 = project_T(T_true, K, X2)
+    T_hat, ok2 = p3p_solve_sample(X2, uv2, K)
+    assert bool(ok2)
+    assert float(jnp.abs(T_hat - T_true).max()) < 1e-2

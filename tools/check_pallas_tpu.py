@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""On-device parity check for the Pallas front-end kernels.
+
+The CI suite exercises `corner_response_nms` and `extract_patches_aligned`
+only in interpret mode (on the CPU mesh), which cannot catch a real-device
+DMA-vs-vector hazard in the double-buffered gather loop
+(vo_tpu/ops/pallas_kernels.py:_gather_kernel). This script runs BOTH kernels
+compiled on the actual TPU and diffs them against the XLA oracle.
+
+Exit code 0 + "PASS" on success, 1 on mismatch, 2 when no TPU is attached
+(callers treat 2 as skip). Run via tests/test_pallas_tpu.py or directly:
+
+    JAX_PLATFORMS= python tools/check_pallas_tpu.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon"):
+        print(f"SKIP: first device platform is '{platform}', not tpu")
+        return 2
+
+    from vo_tpu.ops.harris import shi_tomasi_response, harris_response, select_keypoints
+    from vo_tpu.ops.pallas_kernels import corner_response_nms, extract_patches_aligned
+
+    rng = np.random.default_rng(2023)
+    h, w = 370, 1226  # KITTI 05 frame size
+    img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+
+    failures = []
+
+    # --- fused response+NMS vs the unfused XLA oracle -----------------------
+    for mode, resp_fn in (("shi_tomasi", shi_tomasi_response), ("harris", harris_response)):
+        fused = np.asarray(corner_response_nms(img, mode=mode, patch_size=7,
+                                               kappa=0.08, nms_radius=8))
+        resp = resp_fn(img, patch_size=7) if mode == "shi_tomasi" else resp_fn(
+            img, patch_size=7, kappa=0.08)
+        kp = select_keypoints(resp, num_keypoints=512, nms_radius=8, border=16)
+        # The fused map's top-K (with the same border mask) must equal the
+        # oracle keypoints bit-for-bit (same tie-break).
+        fm = np.asarray(fused)
+        fm[:16, :] = -np.inf
+        fm[-16:, :] = -np.inf
+        fm[:, :16] = -np.inf
+        fm[:, -16:] = -np.inf
+        flat = np.argsort(fm.ravel())[::-1][:512]
+        got = np.stack([flat % w, flat // w], axis=-1).astype(np.float32)
+        want = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        got_set = {tuple(p) for p in got[: len(want)]}
+        want_set = {tuple(p) for p in want}
+        inter = len(got_set & want_set)
+        if inter < 0.99 * len(want_set):
+            failures.append(
+                f"{mode}: fused NMS keypoints disagree with oracle "
+                f"({inter}/{len(want_set)} common)"
+            )
+
+    # --- DMA patch gather vs vmapped dynamic_slice ---------------------------
+    size = 24
+    pad = 160
+    imgp = jnp.pad(img, ((pad, pad), (pad, pad)))
+    k = 1024
+    corners = jnp.stack(
+        [
+            jnp.asarray(rng.integers(0, w + 2 * pad - 200, k), jnp.int32),
+            jnp.asarray(rng.integers(0, h + 2 * pad - 40, k), jnp.int32),
+        ],
+        axis=-1,
+    )
+    got = np.asarray(extract_patches_aligned(imgp, corners, size))
+
+    def one(c):
+        return jax.lax.dynamic_slice(imgp, (c[1], c[0]), (size, size))
+
+    want = np.asarray(jax.jit(jax.vmap(one))(corners))
+    if not np.array_equal(got, want):
+        bad = int((got != want).any(axis=(1, 2)).sum())
+        failures.append(f"patch gather: {bad}/{k} patches differ from XLA oracle")
+
+    # Run the gather twice more with different corners to shake out
+    # order-dependent DMA races (the hazard window depends on timing).
+    for trial in range(2):
+        c2 = jnp.roll(corners, trial + 1, axis=0)
+        g2 = np.asarray(extract_patches_aligned(imgp, c2, size))
+        w2 = np.asarray(jax.jit(jax.vmap(one))(c2))
+        if not np.array_equal(g2, w2):
+            failures.append(f"patch gather trial {trial}: race-like mismatch")
+
+    if failures:
+        print("FAIL:", *failures, sep="\n  ")
+        return 1
+    print(f"PASS: pallas kernels bit-match XLA oracles on {jax.devices()[0]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

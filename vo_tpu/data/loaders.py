@@ -34,9 +34,14 @@ def _imread_gray_pil(path: str) -> np.ndarray:
 
 def _imread_gray(path: str) -> np.ndarray:
     """Decode via the native C++ loader (native/frame_loader.cc) when built,
-    PIL otherwise. Both produce identical f32 grayscale (ITU-R 601-2)."""
+    PIL otherwise. Both produce identical f32 grayscale (ITU-R 601-2) for
+    8-bit inputs; formats the native path declines (e.g. 16-bit PNG, where
+    the two libraries' narrowing conventions differ) fall back to PIL."""
     if native_loader.available():
-        return native_loader.decode_gray(path)
+        try:
+            return native_loader.decode_gray(path)
+        except IOError:
+            pass
     return _imread_gray_pil(path)
 
 
@@ -104,52 +109,59 @@ class Sequence:
             self.gt_poses = gt[:: self.increment].astype(np.float32)
 
     def _load_malaga(self):
-        """Malaga urban extract: camera_params ini + Images/*_left.jpg
-        (parse parity: loader.py:114-158)."""
+        """Malaga urban extract (parse parity: loader.py:100-158): images at
+        <root>/malaga-urban-dataset-extract-07/Images/*{left,right}.jpg; the
+        intrinsics ini is picked by variant —
+
+          raw:                camera_params_raw_1024x768.txt,
+                              section CAMERA_PARAMS_{LEFT,RIGHT}
+          rectified (lowres): camera_params_rectified_a=0_800x600.txt
+          rectified:          camera_params_rectified_a=0_1024x768.txt,
+                              section CAMERA_{LEFT,RIGHT}
+
+        and values may carry trailing `// comments` (ref splits on "//").
+        Raises if the intrinsics file or required keys are missing — the
+        reference would KeyError; a silent K=None crashes far from the cause.
+        """
         base = os.path.join(self.path, "malaga")
-        root = None
-        for d in sorted(glob(os.path.join(base, "*"))):
-            if os.path.isdir(d):
-                root = d
-                break
-        root = root or base
-        variant = "rectified" if self.rectified else "raw"
-        res = "800x600" if not self.use_lowres else "640x480"
-        ini_candidates = glob(os.path.join(root, "camera_params*.txt")) + glob(
-            os.path.join(root, "*camera_params*")
+        root = os.path.join(base, "malaga-urban-dataset-extract-07")
+        if not os.path.isdir(root):
+            # Tolerate the extract dir sitting directly under the data root.
+            alt = os.path.join(self.path, "malaga-urban-dataset-extract-07")
+            root = alt if os.path.isdir(alt) else root
+
+        side = "left" if self.camera == 0 else "right"
+        if not self.rectified:
+            ini_name = "camera_params_raw_1024x768.txt"
+            section = f"CAMERA_PARAMS_{side.upper()}"
+        else:
+            res = "800x600" if self.use_lowres else "1024x768"
+            ini_name = f"camera_params_rectified_a=0_{res}.txt"
+            section = f"CAMERA_{side.upper()}"
+        ini = os.path.join(root, ini_name)
+        if not os.path.exists(ini):
+            raise FileNotFoundError(f"malaga intrinsics file not found: {ini}")
+        cp = configparser.ConfigParser()
+        cp.read(ini)
+        if section not in cp:
+            raise KeyError(f"section [{section}] not in {ini}")
+        sec = cp[section]
+
+        def val(key: str) -> float:
+            # Malaga ini values carry `// comment` suffixes (ref loader.py:144).
+            return float(sec[key].split("//")[0])
+
+        self.K = np.array(
+            [
+                [val("fx"), 0.0, val("cx")],
+                [0.0, val("fy"), val("cy")],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float32,
         )
-        K = None
-        for ini in ini_candidates:
-            cp = configparser.ConfigParser()
-            try:
-                cp.read(ini)
-            except configparser.Error:
-                continue
-            for section in cp.sections():
-                sec = cp[section]
-                if all(k in sec for k in ("cx", "cy", "fx", "fy")):
-                    K = np.array(
-                        [
-                            [float(sec["fx"]), 0.0, float(sec["cx"])],
-                            [0.0, float(sec["fy"]), float(sec["cy"])],
-                            [0.0, 0.0, 1.0],
-                        ],
-                        np.float32,
-                    )
-                    break
-            if K is not None:
-                break
-        self.K = K
-        img_dirs = [
-            os.path.join(root, f"malaga-urban-dataset-extract-07_rectified_{res}_Images"),
-            os.path.join(root, "Images"),
-        ]
-        for d in img_dirs:
-            files = sorted(glob(os.path.join(d, "*_left.jpg")))
-            if files:
-                self.frames = files[:: self.increment]
-                break
-        del variant
+        self.frames = sorted(
+            glob(os.path.join(root, "Images", f"*{side}.jpg"))
+        )[:: self.increment]
 
     def _load_parking(self):
         """parking dataset: K.txt (comma/space separated 3x3) + images/*.png

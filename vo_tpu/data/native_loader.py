@@ -153,9 +153,12 @@ class FramePrefetcher:
         rc = self._lib.vo_prefetch_get(
             self._handle, idx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         )
+        # The C++ consumer cursor advances past the frame whether or not its
+        # decode succeeded — mirror that before raising, so one bad frame
+        # surfaces as one error instead of desynchronizing every later get().
+        self._next = idx + 1
         if rc != 0:
             raise IOError(f"prefetch decode failed at frame {idx}")
-        self._next = idx + 1
         return out
 
     def __iter__(self):

@@ -296,7 +296,16 @@ def p3p_solve_sample(
     err = jnp.sum((uv_hat - uv4[3]) ** 2, axis=-1)
     # Also require the disambiguation point in front of the camera.
     z3 = jax.vmap(lambda T: (T[2, :3] * X4[3]).sum() + T[2, 3])(Ts)
-    err = jnp.where(valid & (z3 > 0), err, jnp.inf)
+    # Degeneracy gates: (near-)collinear world samples make the TRIAD frame
+    # direction noise-dominated (unlike the SVD/Kabsch path it replaced,
+    # which averaged the ambiguity away), and an exactly-collinear one yields
+    # a non-orthonormal R with finite entries. ||u x v||^2 relative to
+    # ||u||^2||v||^2 is sin^2 of the triangle angle; require sin > 1e-3.
+    u, v = X4[1] - X4[0], X4[2] - X4[0]
+    cr = jnp.cross(u, v)
+    noncollinear = jnp.sum(cr * cr) > 1e-6 * jnp.sum(u * u) * jnp.sum(v * v)
+    rigid = jnp.abs(jnp.linalg.det(Ts[:, :3, :3]) - 1.0) < 0.1
+    err = jnp.where(valid & (z3 > 0) & rigid & noncollinear, err, jnp.inf)
     best = jnp.argmin(err)
     return Ts[best], jnp.isfinite(err[best])
 

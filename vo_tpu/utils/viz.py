@@ -151,6 +151,37 @@ def save_trajectory_plot(
     plt.close(fig)
 
 
+def save_landmark_history_plot(
+    path: str,
+    frame_ids: np.ndarray,
+    num_triangulated: np.ndarray,
+    num_candidates: np.ndarray | None = None,
+    num_tracked: np.ndarray | None = None,
+    title: str = "landmarks per frame",
+):
+    """Per-frame landmark-count history figure (ref main.py:144-165
+    plot_nr_of_landmarks — the reference redraws the last SHOW_N_POSES
+    frames live; headless here, the full history in one artifact)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 3.2))
+    ax.plot(frame_ids, num_triangulated, c="#2ca02c", label="triangulated")
+    if num_candidates is not None:
+        ax.plot(frame_ids, num_candidates, c="#ff7f0e", lw=0.9, label="candidates")
+    if num_tracked is not None:
+        ax.plot(frame_ids, num_tracked, c="#1f77b4", lw=0.9, label="tracked")
+    ax.set_xlabel("frame")
+    ax.set_ylabel("# keypoints")
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_title(title)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 class FpsMeter:
     """Rolling-average frames/s, parity with the reference's `display_fps`
     HUD overlay (overlays.py:8-38: deque of frame periods, averaged)."""
