@@ -25,7 +25,7 @@ import time
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[1])
-    p.add_argument("--dataset", choices=["kitti", "malaga", "parking"], default="kitti")
+    p.add_argument("--dataset", choices=["kitti", "malaga", "parking", "synthetic"], default="kitti")
     p.add_argument("--data-root", default="./data")
     p.add_argument("--kitti-sequence", default="05")
     p.add_argument("--increment", type=int, default=1)
@@ -189,10 +189,26 @@ def main(argv=None):
 
     est = np.stack(poses)
     result = {"fps_steady": fps, "frames": len(stats) + 2}
-    if seq.gt_poses is not None and len(seq.gt_poses) >= n_frames:
-        gt = seq.gt_poses[frame_ids]
-        ate = ate_rmse(positions_from_poses(est), positions_from_poses(gt))
-        t_rpe, r_rpe = rpe(est, gt)
+
+    if args.save_npz:
+        os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)
+        np.savez(args.save_npz, poses=est, frame_ids=np.asarray(frame_ids),
+                 stats=json.dumps(stats))
+        print(f"[vo_tpu] wrote {args.save_npz}")
+
+    # Metrics over the finite prefix: a diverged run (non-finite poses after
+    # repeated fallback) still reports how far it got instead of crashing.
+    finite = np.isfinite(est.reshape(len(est), -1)).all(axis=1)
+    n_ok = int(np.argmin(finite)) if not finite.all() else len(est)
+    if n_ok < len(est):
+        result["diverged_at_frame"] = int(frame_ids[n_ok])
+        print(f"[vo_tpu] WARNING: pose non-finite from frame {frame_ids[n_ok]}; "
+              f"metrics over first {n_ok} poses")
+    if seq.gt_poses is not None and len(seq.gt_poses) >= n_frames and n_ok >= 3:
+        gt = seq.gt_poses[frame_ids][:n_ok]
+        est_m = est[:n_ok]
+        ate = ate_rmse(positions_from_poses(est_m), positions_from_poses(gt))
+        t_rpe, r_rpe = rpe(est_m, gt)
         result.update(ate_rmse_m=ate, rpe_trans_m=t_rpe, rpe_rot_rad=r_rpe)
         print(f"[vo_tpu] ATE RMSE {ate:.4f} m | RPE {t_rpe:.4f} m / {r_rpe*57.3:.3f} deg")
 
@@ -224,12 +240,6 @@ def main(argv=None):
             title=f"{args.dataset} landmark history",
         )
         print(f"[vo_tpu] wrote {args.landmarks_pdf}")
-
-    if args.save_npz:
-        os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)
-        np.savez(args.save_npz, poses=est, frame_ids=np.asarray(frame_ids),
-                 stats=json.dumps(stats))
-        print(f"[vo_tpu] wrote {args.save_npz}")
 
     print(json.dumps(result))
     return 0

@@ -41,7 +41,12 @@ def sift_run():
     return _run_mode("sift")
 
 
-@pytest.mark.parametrize("fix", ["harris_run", "sift_run"])
+# The sift e2e fixture dominates suite wall time (DoG pyramid + descriptor
+# compile on the CPU mesh) — slow tier; harris stays in the default tier.
+_MODES = ["harris_run", pytest.param("sift_run", marks=pytest.mark.slow)]
+
+
+@pytest.mark.parametrize("fix", _MODES)
 def test_mode_bootstrap_and_localization(fix, request):
     _, _, outs, _ = request.getfixturevalue(fix)
     assert bool(outs[2].pose_ok), "bootstrap failed"
@@ -51,7 +56,7 @@ def test_mode_bootstrap_and_localization(fix, request):
         assert int(outs[i].num_pnp_inliers) > 20
 
 
-@pytest.mark.parametrize("fix", ["harris_run", "sift_run"])
+@pytest.mark.parametrize("fix", _MODES)
 def test_mode_ate(fix, request):
     seq, poses, _, _ = request.getfixturevalue(fix)
     idx = sorted(poses)
@@ -63,7 +68,7 @@ def test_mode_ate(fix, request):
     assert ate < 0.15, f"ATE {ate:.3f} m"
 
 
-@pytest.mark.parametrize("fix", ["harris_run", "sift_run"])
+@pytest.mark.parametrize("fix", _MODES)
 def test_mode_tracks_carry_descriptors(fix, request):
     _, _, _, state = request.getfixturevalue(fix)
     st = np.asarray(state.table.state)

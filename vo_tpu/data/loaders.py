@@ -72,6 +72,7 @@ class Sequence:
             "kitti": self._load_kitti,
             "malaga": self._load_malaga,
             "parking": self._load_parking,
+            "synthetic": self._load_synthetic,
         }
         if self.dataset not in loaders:  # loader.py:68-70
             raise ValueError(f"unknown dataset '{self.dataset}'")
@@ -178,6 +179,24 @@ class Sequence:
             gt = np.tile(np.eye(4, dtype=np.float64), (len(raw), 1, 1))
             gt[:, :3, :4] = raw
             self.gt_poses = gt[:: self.increment].astype(np.float32)
+
+    def _load_synthetic(self):
+        """Procedurally generated city sequence (vo_tpu.data.synthetic) —
+        rendered once into <root>/synthetic in the parking layout, then
+        parsed exactly like parking. The zero-egress stand-in for the
+        reference's full-length downloaded sequences (setup.sh:4-6)."""
+        from vo_tpu.data import synthetic
+
+        base = synthetic.ensure_synthetic(self.path)
+        ktxt = os.path.join(base, "K.txt")
+        with open(ktxt) as f:
+            txt = f.read().replace(",", " ")
+        self.K = np.fromstring(txt, sep=" ").reshape(3, 3).astype(np.float32)
+        self.frames = sorted(glob(os.path.join(base, "images", "*.png")))[:: self.increment]
+        raw = np.loadtxt(os.path.join(base, "poses.txt")).reshape(-1, 3, 4)
+        gt = np.tile(np.eye(4, dtype=np.float64), (len(raw), 1, 1))
+        gt[:, :3, :4] = raw
+        self.gt_poses = gt[:: self.increment].astype(np.float32)
 
     # -- frame access (loader.py:184-237) -----------------------------------
 

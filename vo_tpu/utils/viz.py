@@ -41,7 +41,8 @@ def hud_text(out) -> str:
     """Keypoint-count HUD line (ref overlays.py:41-67 display_keypoints_info)."""
     return (
         f"tracked {int(out.num_tracked)}  tri {int(out.num_triangulated)}  "
-        f"cand {int(out.num_candidates)}  pnp_inl {int(out.num_pnp_inliers)}"
+        f"cand {int(out.num_candidates)}  pnp_inl {int(out.num_pnp_inliers)}  "
+        f"new {int(out.num_new_landmarks)}"
     )
 
 
