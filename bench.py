@@ -24,6 +24,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vo_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BASELINE_FPS = 15.0  # reference, M2 MacBook Air, plotting disabled
 DATA_ROOT = "/root/reference/tests/test_data"
 MEASURE_STEPS = 40

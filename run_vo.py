@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--debug-validate", action="store_true",
                    help="run the feature-table invariant validator every frame "
                         "(the reference's runtime asserts, SURVEY §5)")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="frames per device-resident lax.scan rollout chunk "
+                        "(1 = per-frame stepping; >1 = deployment shape, one "
+                        "launch/fetch per chunk)")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the native decode-ahead frame prefetcher")
     p.add_argument("--quiet", action="store_true")
@@ -65,6 +69,9 @@ def main(argv=None):
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from vo_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -135,15 +142,13 @@ def main(argv=None):
             prefetch = seq.prefetch(start=start_frame)
         except TypeError:  # iterator fallback path has no start arg
             prefetch = None
-    for i in range(start_frame, n_frames):
-        raw = prefetch.get(i - start_frame) if prefetch is not None else seq.get_frame(i)
-        img = jnp.asarray(raw)
-        t0 = time.time()
-        state, out = vo_step(state, img, K, cfg)
-        jax.block_until_ready(out.pose)
-        dt = time.time() - t0
-        if i == first_i:
-            compile_time = dt
+    chunk = max(1, args.chunk)
+    if chunk > 1 and (args.viz_dir or args.debug_validate):
+        print("[vo_tpu] --viz-dir/--debug-validate need per-frame stepping; "
+              "falling back to --chunk 1")
+        chunk = 1
+
+    def record(i, out, dt):
         frame_ids.append(i)
         poses.append(np.asarray(out.pose))
         stats.append(
@@ -152,33 +157,82 @@ def main(argv=None):
                  cand=int(out.num_candidates), inl=int(out.num_pnp_inliers),
                  new=int(out.num_new_landmarks))
         )
-        if args.checkpoint and (i - first_i + 1) % args.checkpoint_every == 0:
+        if not args.quiet:
+            print(f"[vo_tpu] frame {i:5d} {fps_meter.text()}  {viz.hud_text(out)}"
+                  + ("" if bool(out.pose_ok) else "  [POSE FALLBACK]"))
+
+    def maybe_checkpoint(i):
+        if args.checkpoint and (i - first_i + 1) % args.checkpoint_every < chunk:
             save_checkpoint(args.checkpoint, state, cfg,
                             trajectory=poses, frame_ids=frame_ids)
             if not args.quiet:
                 print(f"[vo_tpu] checkpoint @ frame {i} -> {args.checkpoint}")
-        fps_meter.tick()
-        if args.debug_validate:
-            from vo_tpu.models.feature_table import debug_validate
 
-            violations = debug_validate(state.table)
-            if violations:
-                raise AssertionError(f"frame {i}: invariants violated: {violations}")
-        if not args.quiet:
-            print(f"[vo_tpu] frame {i:5d} {fps_meter.text()}  {viz.hud_text(out)}"
-                  + ("" if bool(out.pose_ok) else "  [POSE FALLBACK]"))
-        if args.viz_dir:
-            tab = state.table
-            rgb = viz.keypoint_overlay(
-                np.asarray(img), np.asarray(tab.xy), np.asarray(tab.state),
-                np.asarray(tab.track_xy),
-            )
-            os.makedirs(args.viz_dir, exist_ok=True)
-            from PIL import Image
+    if chunk > 1:
+        # Device-resident rollout: the whole per-frame loop runs on device
+        # as a lax.scan over a stacked frame chunk (`vo_rollout`) — one
+        # launch + one fetch per chunk instead of per frame. This is the
+        # deployment shape; per-frame stepping is for debugging/viz.
+        from vo_tpu.models.pipeline import vo_rollout
 
-            Image.fromarray(rgb).save(os.path.join(args.viz_dir, f"{i:06d}.png"))
+        i = start_frame
+        while i < n_frames:
+            n = min(chunk, n_frames - i)
+            raw = [
+                prefetch.get(j - start_frame) if prefetch is not None
+                else seq.get_frame(j)
+                for j in range(i, i + n)
+            ]
+            imgs = np.stack(raw)
+            if n < chunk:  # pad the tail chunk; padded outputs are dropped
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], chunk - n, 0)])
+            t0 = time.time()
+            state, outs = vo_rollout(state, jnp.asarray(imgs), K, cfg)
+            jax.block_until_ready(outs.pose)
+            dt = time.time() - t0
+            if i == first_i:
+                compile_time = dt
+            outs_np = jax.tree_util.tree_map(np.asarray, outs)
+            for k in range(n):
+                one = jax.tree_util.tree_map(lambda x: x[k], outs_np)
+                record(i + k, one, dt / chunk)
+                fps_meter.tick()
+            maybe_checkpoint(i + n - 1)
+            i += n
+    else:
+        for i in range(start_frame, n_frames):
+            raw = (prefetch.get(i - start_frame) if prefetch is not None
+                   else seq.get_frame(i))
+            img = jnp.asarray(raw)
+            t0 = time.time()
+            state, out = vo_step(state, img, K, cfg)
+            jax.block_until_ready(out.pose)
+            dt = time.time() - t0
+            if i == first_i:
+                compile_time = dt
+            record(i, out, dt)
+            maybe_checkpoint(i)
+            fps_meter.tick()
+            if args.debug_validate:
+                from vo_tpu.models.feature_table import debug_validate
 
-    steady = [s["dt"] for s in stats[1:]] or [compile_time]
+                violations = debug_validate(state.table)
+                if violations:
+                    raise AssertionError(
+                        f"frame {i}: invariants violated: {violations}")
+            if args.viz_dir:
+                tab = state.table
+                rgb = viz.keypoint_overlay(
+                    np.asarray(img), np.asarray(tab.xy), np.asarray(tab.state),
+                    np.asarray(tab.track_xy),
+                )
+                os.makedirs(args.viz_dir, exist_ok=True)
+                from PIL import Image
+
+                Image.fromarray(rgb).save(
+                    os.path.join(args.viz_dir, f"{i:06d}.png"))
+
+    steady = [s["dt"] for s in stats[chunk:]] or [compile_time]
     wall = time.time() - t_loop
     fps = len(steady) / max(sum(steady), 1e-9)
     print(f"[vo_tpu] {len(stats)} steps in {wall:.1f}s "

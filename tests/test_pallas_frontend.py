@@ -116,3 +116,42 @@ def test_pyramidal_lk_pallas_flag_cpu_fallback():
     a = pyramidal_lk(p0, p1, xy, radius=8)
     b = pyramidal_lk(p0, p1, xy, radius=8, use_pallas=False)
     np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy))
+
+
+def test_batched_kernels_match_per_image():
+    """The (B, ...) grid variants and the custom_vmap dispatch must equal a
+    per-image loop of the single-image kernels (interpret mode; the on-TPU
+    check lives in tools/check_pallas_tpu.py)."""
+    import jax as _jax
+
+    from vo_tpu.ops.pallas_kernels import (
+        corner_response_nms,
+        corner_response_nms_auto,
+        corner_response_nms_batched,
+        extract_patches_aligned,
+        extract_patches_aligned_auto,
+        extract_patches_aligned_batched,
+    )
+
+    imgs = jnp.asarray(RNG.uniform(0, 255, (3, 96, 200)).astype(np.float32))
+    ref = jnp.stack([corner_response_nms(imgs[i], interpret=True) for i in range(3)])
+
+    def same_masked(a, b):
+        return bool(jnp.all((a == b) | (jnp.isneginf(a) & jnp.isneginf(b))))
+
+    got = corner_response_nms_batched(imgs, interpret=True)
+    assert same_masked(got, ref)
+    got_v = _jax.vmap(lambda im: corner_response_nms_auto(im, interpret=True))(imgs)
+    assert same_masked(got_v, ref)
+
+    big = jnp.asarray(RNG.uniform(0, 255, (3, 104, 384)).astype(np.float32))
+    cor = jnp.asarray(RNG.integers(0, 50, (3, 70, 2)).astype(np.int32))
+    pref = jnp.stack(
+        [extract_patches_aligned(big[i], cor[i], 17, interpret=True) for i in range(3)]
+    )
+    pg = extract_patches_aligned_batched(big, cor, 17, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pg), np.asarray(pref))
+    pv = _jax.vmap(
+        lambda im, c: extract_patches_aligned_auto(im, c, 17, interpret=True)
+    )(big, cor)
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(pref))

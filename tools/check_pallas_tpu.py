@@ -95,6 +95,35 @@ def main() -> int:
         if not np.array_equal(g2, w2):
             failures.append(f"patch gather trial {trial}: race-like mismatch")
 
+    # --- batched (B, ...) grid variants vs per-image kernels -----------------
+    from vo_tpu.ops.pallas_kernels import (
+        corner_response_nms_batched,
+        extract_patches_aligned_batched,
+    )
+
+    imgs = jnp.stack([img, jnp.roll(img, 7, axis=1), img[::-1]])
+    got_b = np.asarray(corner_response_nms_batched(imgs, mode="shi_tomasi",
+                                                   patch_size=7, nms_radius=8))
+    ref_b = np.stack([
+        np.asarray(corner_response_nms(imgs[i], mode="shi_tomasi",
+                                       patch_size=7, nms_radius=8))
+        for i in range(3)
+    ])
+    same = (got_b == ref_b) | (np.isneginf(got_b) & np.isneginf(ref_b))
+    if not same.all():
+        failures.append(f"batched NMS: {int((~same).sum())} px differ")
+
+    imgps = jnp.stack([imgp, jnp.roll(imgp, 3, axis=0), imgp])
+    cors = jnp.stack([corners, jnp.roll(corners, 5, axis=0), corners[::-1]])
+    got_pb = np.asarray(extract_patches_aligned_batched(imgps, cors, size))
+    ref_pb = np.stack([
+        np.asarray(extract_patches_aligned(imgps[i], cors[i], size))
+        for i in range(3)
+    ])
+    if not np.array_equal(got_pb, ref_pb):
+        bad = int((got_pb != ref_pb).any(axis=(2, 3)).sum())
+        failures.append(f"batched gather: {bad} patches differ")
+
     if failures:
         print("FAIL:", *failures, sep="\n  ")
         return 1

@@ -309,7 +309,7 @@ def vo_step(
 ) -> tuple[VOState, StepOutput]:
     tcfg = cfg.triangulation
     table = state.table
-    rng, k_pnp = jax.random.split(state.rng)
+    rng, k_pnp, k_rec = jax.random.split(state.rng, 3)
     Kinv = jnp.linalg.inv(K)
 
     # ---- 1. Track every occupied slot with the configured front-end ----
@@ -357,11 +357,39 @@ def vo_step(
     )
     pose_ok = (pnp.num_inliers >= cfg.pnp.min_inliers) & jnp.isfinite(pnp.T_cw).all()
     pose_pnp = pose_inverse(pnp.T_cw)  # update_with_world_pose (state.py:37-45)
-    # Fallback: constant-velocity model if PnP failed (the reference would
+    # Fallback tier 1: constant-velocity model (the reference would
     # assert-crash, p3p.py:153; we keep going and flag pose_ok=False).
-    rel = pose_inverse(state.prev_pose) @ state.pose
-    pose_cv = state.pose @ rel
-    pose = jnp.where(pose_ok, pose_pnp, pose_cv)
+    rel_cv = pose_inverse(state.prev_pose) @ state.pose
+    pose_cv = state.pose @ rel_cv
+    if cfg.recovery.enabled:
+        # Fallback tier 2 (preferred): visual relative pose from this
+        # frame's 2D-2D tracks. Rotation comes from the imagery (E-matrix),
+        # translation direction too; only the scale is borrowed from the
+        # constant-velocity model. Runs only when PnP failed (lax.cond).
+        prev_xy = state.table.xy  # pre-track keypoints = prev-frame pixels
+
+        def _visual_rel(_):
+            res = fundamental_ransac(
+                k_rec, prev_xy, tr.xy, valid=tracked,
+                inlier_threshold_px=cfg.recovery.inlier_threshold_px,
+                num_hypotheses=cfg.recovery.num_hypotheses,
+            )
+            E = essential_from_fundamental(res.model, K, K)
+            rp = relative_pose_from_essential(
+                E, prev_xy, tr.xy, K, K, weight=res.inliers
+            )
+            speed = jnp.linalg.norm(rel_cv[:3, 3])
+            T21 = rp.T_21.at[:3, 3].set(rp.T_21[:3, 3] * speed)
+            pose_vis = state.pose @ pose_inverse(T21)
+            ok = (res.num_inliers >= cfg.recovery.min_inliers) & jnp.isfinite(
+                pose_vis
+            ).all()
+            return jnp.where(ok, pose_vis, pose_cv)
+
+        pose_fb = jax.lax.cond(pose_ok, lambda _: pose_cv, _visual_rel, None)
+    else:
+        pose_fb = pose_cv
+    pose = jnp.where(pose_ok, pose_pnp, pose_fb)
     pose_flat = pose.reshape(16)
     T_cw = pose_inverse(pose)
 

@@ -156,9 +156,9 @@ def detect_keypoints(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from vo_tpu.ops.pallas_kernels import corner_response_nms
+        from vo_tpu.ops.pallas_kernels import corner_response_nms_auto
 
-        masked = corner_response_nms(
+        masked = corner_response_nms_auto(
             image, mode=mode, patch_size=patch_size, kappa=kappa,
             nms_radius=nms_radius,
         )

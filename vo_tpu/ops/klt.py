@@ -53,9 +53,9 @@ def _extract_patches(
     per-keypoint DMA gather (ops/pallas_kernels.py, ~2.7x faster) — callers
     must over-pad the image by the aligned-region cover (see _lk_level)."""
     if use_pallas:
-        from vo_tpu.ops.pallas_kernels import extract_patches_aligned
+        from vo_tpu.ops.pallas_kernels import extract_patches_aligned_auto
 
-        return extract_patches_aligned(img, corner, size)
+        return extract_patches_aligned_auto(img, corner, size)
 
     def one(c):
         return lax.dynamic_slice(img, (c[1], c[0]), (size, size))

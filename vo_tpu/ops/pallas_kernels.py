@@ -101,6 +101,33 @@ def _response_strip(
     return jnp.maximum(half_tr - rad, 0.0)
 
 
+def _nms_strip_body(
+    x, i, *, h: int, w: int, halo: int, mode: str, patch_size: int,
+    kappa: float, nms_radius: int
+):
+    """Full stencil chain on one VMEM strip -> NMS-masked response strip."""
+    win = _STRIP + 2 * halo
+    wp = x.shape[1]  # 128-aligned padded width
+    grow = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0) + (i * _STRIP - halo)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+    in_img = (grow >= 0) & (grow < h) & (gcol < w)
+    resp = _response_strip(x, mode, patch_size, kappa, valid=in_img)
+
+    # Pixels outside the true image must not produce or influence maxima:
+    # the oracle's reduce_window pads with -inf beyond the image.
+    resp = jnp.where(in_img, resp, -jnp.inf)
+
+    pooled = _shifted_max(_shifted_max(resp, nms_radius, 0), nms_radius, 1)
+    # Flat-index tie-break (same as select_keypoints): among equal maxima the
+    # largest flat index wins (indexed in TRUE image width).
+    gidx = (grow * w + gcol).astype(jnp.float32)
+    tied = jnp.where(in_img & (resp >= pooled), gidx, -1.0)
+    pooled_idx = _shifted_max(_shifted_max(tied, nms_radius, 0), nms_radius, 1)
+    is_max = (resp >= pooled) & (gidx == pooled_idx)
+    masked = jnp.where(is_max, resp, -jnp.inf)
+    return masked[halo : halo + _STRIP, :]
+
+
 def _kernel(
     img_hbm,
     out_ref,
@@ -125,28 +152,41 @@ def _kernel(
     )
     dma.start()
     dma.wait()
-    x = strip_vmem[:, :]
+    out_ref[:, :] = _nms_strip_body(
+        strip_vmem[:, :], i, h=h, w=w, halo=halo, mode=mode,
+        patch_size=patch_size, kappa=kappa, nms_radius=nms_radius,
+    )
 
-    wp = x.shape[1]  # 128-aligned padded width
-    grow = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0) + (i * _STRIP - halo)
-    gcol = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
-    in_img = (grow >= 0) & (grow < h) & (gcol < w)
-    resp = _response_strip(x, mode, patch_size, kappa, valid=in_img)
 
-    # Pixels outside the true image must not produce or influence maxima:
-    # the oracle's reduce_window pads with -inf beyond the image.
-    resp = jnp.where(in_img, resp, -jnp.inf)
-
-    pooled = _shifted_max(_shifted_max(resp, nms_radius, 0), nms_radius, 1)
-    # Flat-index tie-break (same as select_keypoints): among equal maxima the
-    # largest flat index wins (indexed in TRUE image width).
-    gidx = (grow * w + gcol).astype(jnp.float32)
-    tied = jnp.where(in_img & (resp >= pooled), gidx, -1.0)
-    pooled_idx = _shifted_max(_shifted_max(tied, nms_radius, 0), nms_radius, 1)
-    is_max = (resp >= pooled) & (gidx == pooled_idx)
-    masked = jnp.where(is_max, resp, -jnp.inf)
-
-    out_ref[:, :] = masked[halo : halo + _STRIP, :]
+def _kernel_batched(
+    img_hbm,
+    out_ref,
+    strip_vmem,
+    sem,
+    *,
+    h: int,
+    w: int,
+    halo: int,
+    mode: str,
+    patch_size: int,
+    kappa: float,
+    nms_radius: int,
+):
+    """Same strip program with a leading batch grid dimension (one image of
+    the batch per `b`) — multi-sequence mode runs the fused kernel instead
+    of falling back to the XLA chain."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    win = _STRIP + 2 * halo
+    dma = pltpu.make_async_copy(
+        img_hbm.at[b, pl.ds(i * _STRIP, win), :], strip_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+    out_ref[0] = _nms_strip_body(
+        strip_vmem[:, :], i, h=h, w=w, halo=halo, mode=mode,
+        patch_size=patch_size, kappa=kappa, nms_radius=nms_radius,
+    )
 
 
 @functools.partial(
@@ -208,6 +248,90 @@ def corner_response_nms(
         interpret=interpret,
     )(imgp)
     return out[:h, :w]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "patch_size", "kappa", "nms_radius", "interpret"),
+)
+def corner_response_nms_batched(
+    imgs: jnp.ndarray,
+    mode: str = "shi_tomasi",
+    patch_size: int = 7,
+    kappa: float = 0.08,
+    nms_radius: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched `corner_response_nms`: (B, H, W) -> (B, H, W) masked maps via
+    a (B, strips) grid — one fused kernel launch for the whole batch."""
+    bsz, h, w = imgs.shape
+    halo = 2 * nms_radius + patch_size // 2 + 2
+    halo = (halo + 3) // 4 * 4
+    grid = (h + _STRIP - 1) // _STRIP
+    wp = (w + 127) // 128 * 128
+    imgp = jnp.pad(
+        imgs.astype(jnp.float32),
+        ((0, 0), (halo, grid * _STRIP + halo - h), (0, wp - w)),
+    )
+    kern = functools.partial(
+        _kernel_batched, h=h, w=w, halo=halo, mode=mode,
+        patch_size=patch_size, kappa=kappa, nms_radius=nms_radius,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, grid),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, _STRIP, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, grid * _STRIP, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_STRIP + 2 * halo, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(imgp)
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_nms_vmappable(mode, patch_size, kappa, nms_radius, interpret):
+    """`corner_response_nms` with a custom vmap rule that dispatches to the
+    batched grid kernel — `jax.vmap(vo_step)` (multi-sequence mode) then
+    keeps the fused Pallas front-end instead of falling back to XLA."""
+
+    @jax.custom_batching.custom_vmap
+    def f(img):
+        return corner_response_nms(
+            img, mode=mode, patch_size=patch_size, kappa=kappa,
+            nms_radius=nms_radius, interpret=interpret,
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):  # noqa: ANN001
+        (batched,) = in_batched
+        if not batched:
+            img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
+        out = corner_response_nms_batched(
+            img, mode=mode, patch_size=patch_size, kappa=kappa,
+            nms_radius=nms_radius, interpret=interpret,
+        )
+        return out, True
+
+    return f
+
+
+def corner_response_nms_auto(
+    img: jnp.ndarray,
+    mode: str = "shi_tomasi",
+    patch_size: int = 7,
+    kappa: float = 0.08,
+    nms_radius: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """vmap-aware front door: single image -> strip kernel; under jax.vmap
+    -> the batched (B, strips) grid kernel."""
+    return _corner_nms_vmappable(mode, patch_size, kappa, nms_radius, interpret)(img)
 
 
 # ---------------------------------------------------------------------------
@@ -295,3 +419,103 @@ def extract_patches_aligned(
         interpret=interpret,
     )(corners.astype(jnp.int32), img.astype(jnp.float32))
     return out[:k]
+
+
+def _gather_kernel_batched(
+    corners_ref, img_ref, out_ref, scratch, sems, *, size, rh, rw
+):
+    """`_gather_kernel` with a leading batch grid dimension: image b of the
+    stack, keypoint block g."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    def get_dma(k):
+        i = g * _GATHER_BLK + k
+        y0 = (corners_ref[b, i, 1] // 8) * 8
+        x0 = (corners_ref[b, i, 0] // 128) * 128
+        return pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(y0, rh), pl.ds(x0, rw)],
+            scratch.at[k % _GATHER_NSEM],
+            sems.at[k % _GATHER_NSEM],
+        )
+
+    for k in range(min(_GATHER_NSEM, _GATHER_BLK)):
+        get_dma(k).start()
+    for k in range(_GATHER_BLK):
+        i = g * _GATHER_BLK + k
+        get_dma(k).wait()
+        dy = corners_ref[b, i, 1] % 8
+        dx = corners_ref[b, i, 0] % 128
+        region = scratch[k % _GATHER_NSEM]
+        rolled = pltpu.roll(pltpu.roll(region, rh - dy, 0), rw - dx, 1)
+        out_ref[0, k] = rolled[:size, :size]
+        if k + _GATHER_NSEM < _GATHER_BLK:
+            get_dma(k + _GATHER_NSEM).start()
+
+
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def extract_patches_aligned_batched(
+    imgs: jnp.ndarray, corners: jnp.ndarray, size: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Batched DMA patch gather: (B, H, W) images + (B, K, 2) corners ->
+    (B, K, size, size) patches via a (B, blocks) grid."""
+    bsz, k = corners.shape[0], corners.shape[1]
+    rh = (size + 7 + 7) // 8 * 8
+    rw = (size + 127 + 127) // 128 * 128
+    kp = (k + _GATHER_BLK - 1) // _GATHER_BLK * _GATHER_BLK
+    if kp != k:
+        corners = jnp.concatenate(
+            [corners, jnp.zeros((bsz, kp - k, 2), corners.dtype)], axis=1
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, kp // _GATHER_BLK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, _GATHER_BLK, size, size), lambda b, g, c: (b, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_GATHER_NSEM, rh, rw), jnp.float32),
+            pltpu.SemaphoreType.DMA((_GATHER_NSEM,)),
+        ],
+    )
+    kern = functools.partial(_gather_kernel_batched, size=size, rh=rh, rw=rw)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, kp, size, size), jnp.float32),
+        interpret=interpret,
+    )(corners.astype(jnp.int32), imgs.astype(jnp.float32))
+    return out[:, :k]
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_vmappable(size, interpret):
+    @jax.custom_batching.custom_vmap
+    def f(img, corners):
+        return extract_patches_aligned(img, corners, size, interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img, corners):  # noqa: ANN001
+        img_b, cor_b = in_batched
+        if not img_b:
+            img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
+        if not cor_b:
+            corners = jnp.broadcast_to(
+                corners[None], (axis_size,) + corners.shape
+            )
+        out = extract_patches_aligned_batched(
+            img, corners, size, interpret=interpret
+        )
+        return out, True
+
+    return f
+
+
+def extract_patches_aligned_auto(
+    img: jnp.ndarray, corners: jnp.ndarray, size: int, interpret: bool = False
+) -> jnp.ndarray:
+    """vmap-aware front door for the DMA patch gather (see
+    `corner_response_nms_auto`)."""
+    return _gather_vmappable(size, interpret)(img, corners)

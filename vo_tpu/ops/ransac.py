@@ -79,6 +79,7 @@ def ransac(
     error_fn: Callable[[Any, Any], jnp.ndarray],
     inlier_threshold: float,
     valid: jnp.ndarray | None = None,
+    chunk_size: int = 1024,
 ) -> RansacResult:
     """Run fixed-budget RANSAC.
 
@@ -98,24 +99,71 @@ def ransac(
             ransac.py:109: error < threshold).
       valid: optional (N,) bool — slots eligible as samples/inliers (the
             fixed-capacity replacement for the reference's dynamic arrays).
+      chunk_size: hypotheses solved/scored per vmapped block. Budgets above
+            this run as a `lax.scan` of blocks carrying the running best —
+            the (H, N) error matrix never materializes, so reference-scale
+            budgets (outlier_ratio=0.9 -> ~1e4 hypotheses,
+            ref p3p.py:14-49 + ransac.py:58-67) fit in memory.
 
     Returns: RansacResult for the argmax-inlier hypothesis.
     """
-    idx = sample_indices(key, num_hypotheses, num_points, sample_size, valid)
-    samples = _tree_take(data, idx.reshape(-1))
-    samples = jax.tree_util.tree_map(
-        lambda x: x.reshape((num_hypotheses, sample_size) + x.shape[1:]), samples
+    valid_f = None if valid is None else valid
+
+    def _score_block(idx_block):
+        """(C, s) sample indices -> (models, scores (C,))."""
+        c = idx_block.shape[0]
+        samples = _tree_take(data, idx_block.reshape(-1))
+        samples = jax.tree_util.tree_map(
+            lambda x: x.reshape((c, sample_size) + x.shape[1:]), samples
+        )
+        models, ok = jax.vmap(model_fn)(samples)
+        errors = jax.vmap(error_fn, in_axes=(0, None))(models, data)  # (C, N)
+        inlier_mask = errors < inlier_threshold
+        if valid_f is not None:
+            inlier_mask = inlier_mask & valid_f[None, :]
+        scores = jnp.sum(inlier_mask, axis=1) * ok.astype(jnp.int32)
+        return models, scores, errors, inlier_mask
+
+    if num_hypotheses <= chunk_size:
+        idx = sample_indices(key, num_hypotheses, num_points, sample_size, valid)
+        models, scores, errors, inlier_mask = _score_block(idx)
+        best = jnp.argmax(scores)
+        return RansacResult(
+            model=_tree_take(models, best),
+            inliers=inlier_mask[best],
+            num_inliers=scores[best],
+            errors=errors[best],
+        )
+
+    n_chunks = -(-num_hypotheses // chunk_size)
+    idx = sample_indices(
+        key, n_chunks * chunk_size, num_points, sample_size, valid
+    ).reshape(n_chunks, chunk_size, sample_size)
+
+    def body(carry, idx_block):
+        best_score, best_model = carry
+        models, scores, _, _ = _score_block(idx_block)
+        b = jnp.argmax(scores)
+        blk_score = scores[b]
+        blk_model = _tree_take(models, b)
+        take_new = blk_score > best_score
+        model = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(take_new, new, old), blk_model, best_model
+        )
+        return (jnp.maximum(best_score, blk_score), model), None
+
+    m0, _ = model_fn(_tree_take(data, idx[0, 0]))  # structure only
+    init_model = jax.tree_util.tree_map(jnp.zeros_like, m0)
+    (best_score, best_model), _ = jax.lax.scan(
+        body, (jnp.int32(-1), init_model), idx
     )
-    models, ok = jax.vmap(model_fn)(samples)
-    errors = jax.vmap(error_fn, in_axes=(0, None))(models, data)  # (H, N)
-    inlier_mask = errors < inlier_threshold
-    if valid is not None:
-        inlier_mask = inlier_mask & valid[None, :]
-    scores = jnp.sum(inlier_mask, axis=1) * ok.astype(jnp.int32)
-    best = jnp.argmax(scores)
+    errors = error_fn(best_model, data)
+    inliers = errors < inlier_threshold
+    if valid_f is not None:
+        inliers = inliers & valid_f
     return RansacResult(
-        model=_tree_take(models, best),
-        inliers=inlier_mask[best],
-        num_inliers=scores[best],
-        errors=errors[best],
+        model=best_model,
+        inliers=inliers,
+        num_inliers=inliers.sum(),
+        errors=errors,
     )

@@ -32,18 +32,12 @@ def replicate_state(state: VOState, batch: int) -> VOState:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def batched_vo_step(states: VOState, images: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig):
-    """vmapped per-frame step: states/images/K carry a leading batch axis."""
-    # Force the XLA paths under vmap: the Pallas kernels (detection strip
-    # kernel, LK patch gather) are written for the single-image grid —
-    # vmapping their manual-DMA grids is not supported — and under a batch
-    # the XLA chains pipeline across sequences anyway.
-    import dataclasses
+    """vmapped per-frame step: states/images/K carry a leading batch axis.
 
-    cfg = dataclasses.replace(
-        cfg,
-        detector=dataclasses.replace(cfg.detector, use_pallas=False),
-        klt=dataclasses.replace(cfg.klt, use_pallas=False),
-    )
+    The Pallas kernels stay live under the vmap: their `custom_vmap` rules
+    (pallas_kernels.corner_response_nms_auto / extract_patches_aligned_auto)
+    dispatch to batched (B, ...) grid variants, so multi-sequence mode runs
+    the same fused front-end as single-sequence mode."""
     return jax.vmap(lambda s, i, k: vo_step(s, i, k, cfg))(states, images, K)
 
 

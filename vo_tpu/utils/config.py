@@ -86,6 +86,25 @@ class PnPConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RecoveryConfig:
+    """Lost-pose recovery (new capability — the reference assert-crashes on
+    PnP failure, p3p.py:153, and its report documents the unrecoverable
+    'vicious circle' on Malaga, Report 3.1.2).
+
+    When PnP fails, the prev->curr relative pose is re-estimated visually
+    from the current frame's 2D-2D tracks (8-point RANSAC -> E ->
+    cheirality vote, the bootstrap machinery) and the unit translation is
+    scaled by the constant-velocity speed. This keeps the rotation locked
+    to the imagery — a pure constant-velocity fallback compounds rotation
+    error during turns until every pose gate fails permanently."""
+
+    enabled: bool = True
+    num_hypotheses: int = 256
+    inlier_threshold_px: float = 1.0
+    min_inliers: int = 30
+
+
+@dataclasses.dataclass(frozen=True)
 class TriangulationConfig:
     """Continuous candidate triangulation (ref: state.py:8, 90-160)."""
 
@@ -122,6 +141,7 @@ class VOConfig:
     sift: SiftConfig = dataclasses.field(default_factory=SiftConfig)
     bootstrap: BootstrapConfig = dataclasses.field(default_factory=BootstrapConfig)
     pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
+    recovery: RecoveryConfig = dataclasses.field(default_factory=RecoveryConfig)
     triangulation: TriangulationConfig = dataclasses.field(
         default_factory=TriangulationConfig
     )
