@@ -247,7 +247,34 @@ def _gn_step(window: BAWindow, K: jnp.ndarray, damping: float, huber_px: float,
     return kf_pose, landmark, err
 
 
-@partial(jax.jit, static_argnames=("iters", "reduce_fn"))
+def _mean_reproj_err(window: BAWindow, K: jnp.ndarray, reduce_fn=None):
+    """Masked mean reprojection error of the window (no Jacobians)."""
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
+    r, _, _, depth_ok = _residuals_jacobians(
+        window.kf_pose, window.landmark, window.obs_uv, K
+    )
+    mask = (
+        window.obs_mask
+        & depth_ok
+        & window.lm_valid[:, None]
+        & window.kf_valid[None, :]
+    )
+    rn = jnp.linalg.norm(r, axis=-1)
+    return reduce_fn(jnp.sum(jnp.where(mask, rn, 0.0))) / jnp.maximum(
+        reduce_fn(mask.sum()), 1
+    )
+
+
+def _two_oldest_valid(kf_valid: jnp.ndarray):
+    idx = jnp.arange(kf_valid.shape[0])
+    first = jnp.argmax(kf_valid)
+    second = jnp.argmax(kf_valid & (idx > first))
+    has2 = (kf_valid.sum() >= 2) & (second > first)
+    return first, second, has2
+
+
+@partial(jax.jit, static_argnames=("iters", "reduce_fn", "fix_scale"))
 def ba_refine(
     window: BAWindow,
     K: jnp.ndarray,
@@ -255,13 +282,49 @@ def ba_refine(
     damping: float = 1e-3,
     huber_px: float = 2.0,
     reduce_fn=None,
+    fix_scale: bool = True,
 ) -> tuple[BAWindow, jnp.ndarray]:
     """Run `iters` damped GN steps. Returns (refined window, (iters,) mean
-    reprojection error trace — err[i] is BEFORE step i)."""
+    reprojection error trace — err[i] is BEFORE step i).
+
+    Monocular gauge: freezing one keyframe pose fixes 6 DoF but NOT the 7th
+    (scale) — left free, windowed BA lets the map scale wander and writes
+    that wander back into the live landmarks every refinement. With
+    `fix_scale` the window is similarity-renormalized after the GN steps so
+    the baseline between the two oldest keyframes is exactly preserved
+    (rescale of all camera centers + landmarks about the gauge keyframe).
+
+    Safety: the refined window is accepted only if its masked mean
+    reprojection error did not increase — a diverged GN (ill-conditioned
+    turn windows) must never corrupt the live map.
+    """
+    err0 = _mean_reproj_err(window, K, reduce_fn)
+    centers0 = window.kf_pose.reshape(-1, 4, 4)[:, :3, 3]
+    i0, i1, has2 = _two_oldest_valid(window.kf_valid)
+    d_before = jnp.linalg.norm(centers0[i1] - centers0[i0])
 
     def body(win, _):
         kf_pose, landmark, err = _gn_step(win, K, damping, huber_px, reduce_fn)
         return win._replace(kf_pose=kf_pose, landmark=landmark), err
 
-    window, errs = jax.lax.scan(body, window, None, length=iters)
-    return window, errs
+    refined, errs = jax.lax.scan(body, window, None, length=iters)
+
+    if fix_scale:
+        poses = refined.kf_pose.reshape(-1, 4, 4)
+        centers = poses[:, :3, 3]
+        anchor = centers[i0]
+        d_after = jnp.linalg.norm(centers[i1] - anchor)
+        s = jnp.where(has2 & (d_after > 1e-9), d_before / d_after, 1.0)
+        new_centers = anchor + s * (centers - anchor)
+        poses = poses.at[:, :3, 3].set(new_centers)
+        landmark = anchor + s * (refined.landmark - anchor)
+        refined = refined._replace(
+            kf_pose=poses.reshape(-1, 16), landmark=landmark
+        )
+
+    err1 = _mean_reproj_err(refined, K, reduce_fn)
+    accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02)
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), refined, window
+    )
+    return out, errs

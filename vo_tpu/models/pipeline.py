@@ -29,6 +29,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from vo_tpu.geom.camera import Camera
 from vo_tpu.geom.lie import pose_inverse
 from vo_tpu.models.ba import BAWindow, ba_refine, empty_window, push_keyframe
 from vo_tpu.models.feature_table import (
@@ -156,6 +157,16 @@ def _match_track(
     return tr, safe, used
 
 
+def _undistort(xy: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig) -> jnp.ndarray:
+    """Ideal-pinhole coordinates of raw observations (identity when the
+    config carries no distortion — the reference's rectified operating
+    point, camera.py:38-54 stubs)."""
+    if not any(cfg.dist):
+        return xy
+    cam = Camera.create(K, dist=jnp.asarray(cfg.dist, jnp.float32))
+    return cam.undistort_points(xy)
+
+
 def _rays_world(pose: jnp.ndarray, Kinv: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Unit bearing rays of pixels, rotated into the world frame.
     pose: (..., 4, 4) w_T_c; xy: (..., 2)."""
@@ -214,13 +225,15 @@ def bootstrap(
         sigma1 = jnp.where(tr.status, det1.sigma[midx], kps.sigma)
     tracked = kps.valid & tr.status
 
+    xy0_u = _undistort(kps.xy, K, cfg)
+    xy1_u = _undistort(tr.xy, K, cfg)
     res = fundamental_ransac(
-        k_ransac, kps.xy, tr.xy, valid=tracked,
+        k_ransac, xy0_u, xy1_u, valid=tracked,
         inlier_threshold_px=cfg.bootstrap.inlier_threshold_px,
         num_hypotheses=cfg.bootstrap.num_hypotheses,
     )
     E = essential_from_fundamental(res.model, K, K)
-    rp = relative_pose_from_essential(E, kps.xy, tr.xy, K, K, weight=res.inliers)
+    rp = relative_pose_from_essential(E, xy0_u, xy1_u, K, K, weight=res.inliers)
 
     pose0 = jnp.eye(4, dtype=jnp.float32)
     pose1 = pose_inverse(rp.T_21)  # w_T_c1 (world = cam0)
@@ -316,13 +329,48 @@ def vo_step(
     # klt: pyramidal LK (ref klt.py:233-269); harris/sift: frame-to-frame
     # descriptor matching (ref harris.py:50-84, sift.py:23-53).
     occupied = table.state >= STATE_UNMATCHED
+    rel_cv = pose_inverse(state.prev_pose) @ state.pose  # last step's motion
     if cfg.tracker == "klt":
         pyr_new = tuple(build_pyramid(image, cfg.klt.pyramid_levels))
+        init_flow = None
+        if cfg.klt.predict_motion:
+            # SVO/DSO-style warp initialization: seed LK with the flow
+            # predicted by the constant-velocity motion model. Rotation
+            # flow (the killer during turns: ~deg/frame sweeps exceed the
+            # pyramid's native capture range) is depth-free via the
+            # infinite-homography K R K^-1; triangulated slots use their
+            # landmark depth for the full prediction.
+            pose_pred = state.pose @ rel_cv
+            T_pp = pose_inverse(pose_pred) @ state.pose  # prev cam -> pred cam
+            xy_ideal = _undistort(table.xy, K, cfg)
+            h = jnp.concatenate(
+                [xy_ideal, jnp.ones_like(table.xy[..., :1])], axis=-1
+            )
+            r = (T_pp[:3, :3] @ (Kinv @ h.T)).T  # rotation-only rays
+            uv_rot = (K @ r.T).T
+            uv_rot = uv_rot[:, :2] / jnp.where(
+                jnp.abs(uv_rot[:, 2:]) > 1e-6, uv_rot[:, 2:], 1.0
+            )
+            Xc = (
+                pose_inverse(pose_pred)[:3, :3] @ table.landmark.T
+            ).T + pose_inverse(pose_pred)[:3, 3]
+            uv_full = (K @ Xc.T).T
+            uv_full = uv_full[:, :2] / jnp.where(
+                Xc[:, 2:] > 0.2, Xc[:, 2:], 1.0
+            )
+            use_full = (table.state == STATE_TRIANGULATED) & (Xc[:, 2] > 0.2)
+            guess = jnp.where(use_full[:, None], uv_full, uv_rot)
+            if any(cfg.dist):
+                # Predictions are ideal-pinhole; the tracker works in raw
+                # image space, so map the guess back through the lens.
+                cam = Camera.create(K, dist=jnp.asarray(cfg.dist, jnp.float32))
+                guess = cam.distort_points(guess)
+            init_flow = guess - table.xy
         tr = pyramidal_lk(
             list(state.pyramid), list(pyr_new), table.xy,
             radius=cfg.klt.radius, max_iters=cfg.klt.max_iters, eps=cfg.klt.eps,
             max_err=cfg.klt.max_err, min_eig_threshold=cfg.klt.min_eig_threshold,
-            use_pallas=cfg.klt.use_pallas,
+            use_pallas=cfg.klt.use_pallas, init_flow=init_flow,
         )
         det = None
         used = jnp.zeros((cfg.capacity,), bool)
@@ -347,10 +395,15 @@ def vo_step(
             sigma=jnp.where(tracked, det.sigma[midx], table.sigma),
         )
 
+    # Geometry below consumes ideal-pinhole coordinates; tracking/NMS above
+    # stay in raw (possibly distorted) image space.
+    xy_u = _undistort(table.xy, K, cfg)
+    track_xy_u = _undistort(table.track_xy, K, cfg)
+
     # ---- 2. P3P localization on triangulated slots (main.py:254-259) ----
     tri = table.state == STATE_TRIANGULATED
     pnp = pnp_ransac(
-        k_pnp, table.landmark, table.xy, K, valid=tri,
+        k_pnp, table.landmark, xy_u, K, valid=tri,
         inlier_threshold_px=cfg.pnp.inlier_threshold_px,
         num_hypotheses=cfg.pnp.num_hypotheses,
         refine_iters=cfg.pnp.refine_iters,
@@ -359,24 +412,23 @@ def vo_step(
     pose_pnp = pose_inverse(pnp.T_cw)  # update_with_world_pose (state.py:37-45)
     # Fallback tier 1: constant-velocity model (the reference would
     # assert-crash, p3p.py:153; we keep going and flag pose_ok=False).
-    rel_cv = pose_inverse(state.prev_pose) @ state.pose
     pose_cv = state.pose @ rel_cv
     if cfg.recovery.enabled:
         # Fallback tier 2 (preferred): visual relative pose from this
         # frame's 2D-2D tracks. Rotation comes from the imagery (E-matrix),
         # translation direction too; only the scale is borrowed from the
         # constant-velocity model. Runs only when PnP failed (lax.cond).
-        prev_xy = state.table.xy  # pre-track keypoints = prev-frame pixels
+        prev_xy_u = _undistort(state.table.xy, K, cfg)  # pre-track pixels
 
         def _visual_rel(_):
             res = fundamental_ransac(
-                k_rec, prev_xy, tr.xy, valid=tracked,
+                k_rec, prev_xy_u, xy_u, valid=tracked,
                 inlier_threshold_px=cfg.recovery.inlier_threshold_px,
                 num_hypotheses=cfg.recovery.num_hypotheses,
             )
             E = essential_from_fundamental(res.model, K, K)
             rp = relative_pose_from_essential(
-                E, prev_xy, tr.xy, K, K, weight=res.inliers
+                E, prev_xy_u, xy_u, K, K, weight=res.inliers
             )
             speed = jnp.linalg.norm(rel_cv[:3, 3])
             T21 = rp.T_21.at[:3, 3].set(rp.T_21[:3, 3] * speed)
@@ -408,8 +460,8 @@ def vo_step(
     # ---- 5. Bearing-angle candidate gate (state.py:135-160) ----
     cand_mask = table.state == STATE_MATCHED
     track_pose = table.track_pose.reshape(-1, 4, 4)
-    ray_start = _rays_world(track_pose, Kinv, table.track_xy)
-    ray_now = _rays_world(pose, Kinv, table.xy)
+    ray_start = _rays_world(track_pose, Kinv, track_xy_u)
+    ray_now = _rays_world(pose, Kinv, xy_u)
     cos_ang = jnp.clip((ray_start * ray_now).sum(-1), -1.0, 1.0)
     angle = jnp.arccos(cos_ang)
     candidates = cand_mask & (angle >= tcfg.bearing_threshold)
@@ -417,13 +469,13 @@ def vo_step(
     # ---- 6. Triangulate candidates (triangulation.py:38-86) ----
     P_start = _proj_matrix(track_pose, K)  # (K, 3, 4) per-track-start
     P_now = _proj_matrix(pose, K)  # (3, 4)
-    X = triangulate_dlt(P_start, P_now, table.track_xy, table.xy)
+    X = triangulate_dlt(P_start, P_now, track_xy_u, xy_u)
     z_start = (
         pose_inverse(track_pose)[:, 2, :3] * X
     ).sum(-1) + pose_inverse(track_pose)[:, 2, 3]
     z_new = (T_cw[2, :3] * X).sum(-1) + T_cw[2, 3]
-    reproj_now = reprojection_error(P_now, X, table.xy)
-    reproj_start = reprojection_error(P_start, X, table.track_xy)
+    reproj_now = reprojection_error(P_now, X, xy_u)
+    reproj_start = reprojection_error(P_start, X, track_xy_u)
     good_new = (
         candidates
         & jnp.isfinite(X).all(-1)
@@ -456,11 +508,20 @@ def vo_step(
     new_frame_idx = state.frame_idx + 1
     window = state.window
     if cfg.ba.enabled:
+        # A fallback frame invalidates the window: its keyframes predate
+        # the recovery, and BA reconciling stale geometry against the
+        # re-seeded map corrupts both (observed as second-turn death on the
+        # 600-frame synthetic run). Clear it; pushes resume on recovery.
+        window = jax.tree_util.tree_map(
+            lambda e, w: jnp.where(pose_ok, w, e),
+            empty_window(cfg.ba.window, cfg.capacity),
+            window,
+        )
 
         def _with_ba(op):
             win, tbl, p = op
             win = push_keyframe(
-                win, p, tbl.xy, tbl.landmark, tbl.uid,
+                win, p, xy_u, tbl.landmark, tbl.uid,
                 tbl.state == STATE_TRIANGULATED,
             )
             win, _ = ba_refine(

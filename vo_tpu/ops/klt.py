@@ -192,6 +192,7 @@ def pyramidal_lk(
     max_err: float = 25.0,
     min_eig_threshold: float = 1e-4,
     use_pallas: bool | None = None,
+    init_flow: jnp.ndarray | None = None,
 ) -> TrackResult:
     """Track keypoints from prev to next frame across a Gaussian pyramid.
 
@@ -206,12 +207,25 @@ def pyramidal_lk(
           here is stricter since we also gate on conditioning).
       use_pallas: route patch extraction through the Pallas DMA gather;
           None = auto (TPU backend only). Numerically identical either way.
+      init_flow: optional (K, 2) level-0 flow guess (e.g. predicted from a
+          motion model — SVO/DSO-style warp initialization). Extends the
+          capture range far beyond the pyramid's native reach for fast
+          rotational flow; non-finite or absurd guesses fall back to 0.
     Returns TrackResult with fixed shapes.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     levels = len(prev_pyr)
-    flow = jnp.zeros_like(xy)
+    if init_flow is None:
+        flow = jnp.zeros_like(xy)
+    else:
+        h0, w0 = prev_pyr[0].shape
+        sane = (
+            jnp.isfinite(init_flow).all(-1)
+            & (jnp.abs(init_flow[:, 0]) < 0.5 * w0)
+            & (jnp.abs(init_flow[:, 1]) < 0.5 * h0)
+        )
+        flow = jnp.where(sane[:, None], init_flow, 0.0) / (2.0 ** (levels - 1))
     conditioned = jnp.ones(xy.shape[0], bool)
     err = jnp.zeros(xy.shape[0], jnp.float32)
     for lvl in range(levels - 1, -1, -1):

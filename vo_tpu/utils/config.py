@@ -55,12 +55,16 @@ class SiftConfig:
 class KLTConfig:
     """Pyramidal LK (ref: klt.py:29-39)."""
 
-    pyramid_levels: int = 3  # maxLevel=2
+    pyramid_levels: int = 4  # one deeper than ref maxLevel=2: turn-rate flow
     radius: int = 8  # 17x17 window
     max_iters: int = 10
     eps: float = 0.03
     max_err: float = 25.0
     min_eig_threshold: float = 1e-4
+    # Seed LK with constant-velocity-model flow (rotation via the infinite
+    # homography, depth via landmarks) — extends capture range during fast
+    # turns far beyond the pyramid's reach.
+    predict_motion: bool = True
     # Pallas DMA patch gather: True/False force, None = auto (TPU only).
     use_pallas: bool | None = None
 
@@ -132,6 +136,12 @@ class VOConfig:
     """Top-level pipeline config. Hashable -> usable as a static jit arg."""
 
     capacity: int = 1024  # fixed feature-table slots (ref num_keypoints=1000)
+    # Brown-Conrady (k1, k2, p1, p2, k3). Non-zero -> every geometric
+    # consumer (PnP, epipolar, triangulation, BA) sees undistorted
+    # observations while tracking stays in raw image space. The reference
+    # declares but stubs this (camera.py:38-54); all its datasets are
+    # rectified, so (0,)*5 reproduces its behavior exactly.
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
     # Front-end mode, mirroring the reference's Tracker dispatch
     # (tracker.py:17-63): "klt" | "harris" | "sift".
     tracker: str = "klt"
