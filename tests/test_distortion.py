@@ -49,7 +49,13 @@ def test_pipeline_recovers_trajectory_through_distorted_lens(tmp_path):
     """End-to-end: images rendered through a Brown-Conrady lens; the
     pipeline configured with the true coefficients must recover the
     trajectory much better than one that assumes a pinhole. (The reference
-    declares distortion but stubs it, camera.py:38-54.)"""
+    declares distortion but stubs it, camera.py:38-54.)
+
+    The driven path includes a 45-degree turn: under pure forward motion a
+    radial lens error is mostly absorbed by the Sim3 alignment (it looks
+    like a scale change), but during rotation the distorted flow field is
+    inconsistent with any rigid rotation, so the naive pinhole run picks up
+    unabsorbable yaw bias (measured: 0.70 m vs 0.15 m aware)."""
     import jax
 
     from vo_tpu.data.evaluate import ate_rmse, positions_from_poses
@@ -59,13 +65,15 @@ def test_pipeline_recovers_trajectory_through_distorted_lens(tmp_path):
     from vo_tpu.utils.config import BAConfig, VOConfig
 
     spec = SyntheticSpec(
-        num_frames=30, width=320, height=240, focal=260.0,
+        num_frames=60, width=320, height=240, focal=260.0,
         dist=(-0.28, 0.08, 0.0, 0.0, 0.0),
-        path=PathSpec(segments=(("straight", 30.0),)),
+        path=PathSpec(
+            segments=(("straight", 8.0), ("turn", 45.0, 11.0), ("straight", 8.0))
+        ),
     )
     out = generate(str(tmp_path / "synthetic"), spec, verbose=False)
     seq = Sequence("synthetic", path=str(tmp_path))
-    assert len(seq) == 30 and out
+    assert len(seq) == 60 and out
 
     def run(dist):
         cfg = VOConfig(capacity=512, dist=dist, ba=BAConfig(enabled=False))
@@ -87,7 +95,8 @@ def test_pipeline_recovers_trajectory_through_distorted_lens(tmp_path):
 
     ate_aware = run(spec.dist)
     ate_naive = run((0.0,) * 5)
-    # With the lens modeled the run is centimeter-accurate over 10 m
-    # (measured 0.042 m); the pinhole assumption at k1=-0.28 is ~3x worse.
-    assert ate_aware < 0.08, f"distortion-aware ATE {ate_aware:.3f} m"
+    # With the lens modeled the turn is recovered (measured 0.153 m over a
+    # ~24 m path); the pinhole assumption at k1=-0.28 is ~4.6x worse
+    # (measured 0.70 m) because the turn's yaw bias can't be aligned away.
+    assert ate_aware < 0.3, f"distortion-aware ATE {ate_aware:.3f} m"
     assert ate_naive > ate_aware * 2.0, (ate_naive, ate_aware)
