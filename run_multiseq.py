@@ -39,11 +39,101 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--capacity", type=int, default=512)
     p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--multihost", default="",
+                   help="comma-separated process counts (e.g. 1,2): launch a "
+                        "jax.distributed local cluster per count (workers = "
+                        "vo_tpu.parallel.multihost) and print the weak-scaling "
+                        "table. Runs on virtual CPU devices; on a pod the same "
+                        "workers run one-per-host unchanged.")
+    p.add_argument("--devices-per-proc", type=int, default=2,
+                   help="virtual CPU devices per worker process (multihost)")
+    p.add_argument("--mh-steps", type=int, default=6)
+    p.add_argument("--mh-capacity", type=int, default=128)
+    p.add_argument("--mh-repeats", type=int, default=4,
+                   help="timed rollout repeats per worker (first is warmup; "
+                        "best of the rest is reported)")
     return p.parse_args(argv)
+
+
+def run_multihost(args):
+    """Weak-scaling harness: for each process count P, spawn P workers
+    joined through a jax.distributed coordinator, each worker driving
+    `--devices-per-proc` virtual CPU devices with one VO lane per device.
+    Global work scales with P; ideal weak scaling keeps agg_fps/P flat."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # Weak scaling is only meaningful if each process keeps the same compute
+    # budget as the cluster grows: pin each worker to a disjoint, equal slice
+    # of the machine's cores (on a pod, each worker IS its own host). With
+    # more processes than cores the run is oversubscribed and flagged.
+    cores = sorted(os.sched_getaffinity(0))
+    counts = [int(x) for x in args.multihost.split(",")]
+    # The budget is fixed by the LARGEST cluster in the sweep so every row
+    # gives each process identical resources — otherwise the 1-process row
+    # would hog the whole machine and fake a scaling loss.
+    per = len(cores) // max(counts)
+    rows = []
+    for nproc in counts:
+        pinnings = (
+            [cores[i * per:(i + 1) * per] for i in range(nproc)]
+            if per >= 1 else [None] * nproc
+        )
+        with socket.socket() as s:  # free port for this cluster
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={args.devices_per_proc}"
+        )
+        cmd = [
+            sys.executable, "-m", "vo_tpu.parallel.multihost",
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", str(nproc),
+            "--steps", str(args.mh_steps),
+            "--capacity", str(args.mh_capacity),
+            "--repeats", str(args.mh_repeats),
+        ]
+        procs = [
+            subprocess.Popen(
+                (["taskset", "-c", ",".join(map(str, pinnings[i]))]
+                 if pinnings[i] else [])
+                + cmd + ["--process-id", str(i)],
+                env=env, stdout=subprocess.PIPE, text=True,
+            )
+            for i in range(nproc)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        assert all(p.returncode == 0 for p in procs), [p.returncode for p in procs]
+        rep = json.loads(
+            [ln for ln in outs[0].splitlines() if ln.startswith("{")][-1]
+        )
+        rep["fps_per_process"] = round(rep["agg_fps"] / nproc, 3)
+        rep["cores_per_process"] = per if per >= 1 else f"oversubscribed({len(cores)}/{nproc})"
+        rows.append(rep)
+        print(json.dumps(rep), flush=True)
+    base = rows[0]["fps_per_process"]
+    table = [
+        {
+            "processes": r["num_processes"],
+            "devices": r["devices_global"],
+            "lanes": r["lanes_global"],
+            "agg_fps": r["agg_fps"],
+            "weak_scaling_eff": round(r["fps_per_process"] / base, 3),
+        }
+        for r in rows
+    ]
+    print(json.dumps({"metric": "multihost_weak_scaling", "rows": table}))
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        return run_multihost(args)
 
     import jax
 
@@ -61,6 +151,7 @@ def main(argv=None):
     from vo_tpu.parallel.mesh import make_mesh
     from vo_tpu.parallel.multiseq import (
         batched_vo_rollout,
+        make_sharded_rollout,
         replicate_state,
         shard_batched_state,
     )
@@ -103,10 +194,18 @@ def main(argv=None):
             ]
         )  # (N, B, H, W)
 
-        w_state, w_out = batched_vo_rollout(batched, stack, Ks, cfg)
+        # shard_map keeps every lane's while-loops/top_k device-local (no
+        # SPMD collectives — see make_sharded_rollout); GSPMD fallback when
+        # lanes don't divide the mesh.
+        if b % mesh.shape["data"] == 0:
+            sharded = make_sharded_rollout(mesh, cfg)
+            rollout = lambda s, im, k: sharded(s, im, k)  # noqa: E731
+        else:
+            rollout = lambda s, im, k: batched_vo_rollout(s, im, k, cfg)  # noqa: E731
+        w_state, w_out = rollout(batched, stack, Ks)
         np.asarray(w_out.pose[-1])  # warmup fetch
         t0 = time.perf_counter()
-        _, outs = batched_vo_rollout(batched, stack, Ks, cfg)
+        _, outs = rollout(batched, stack, Ks)
         np.asarray(outs.pose[-1])
         dt = time.perf_counter() - t0
         agg_fps = args.steps * b / dt

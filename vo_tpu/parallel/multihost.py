@@ -1,0 +1,202 @@
+"""Multi-host (multi-process) VO scaling over DCN.
+
+The reference is one python thread in one process (ref README.md:49). The
+TPU deployment shape for scale-out is N hosts, each driving its local chips,
+joined by `jax.distributed` into ONE global SPMD program: the mesh "data"
+axis spans every chip on every host, host-local lane batches are promoted to
+global arrays, and XLA inserts the (here: trivial, lanes are independent)
+collectives over ICI/DCN.
+
+This module is both the library (`initialize`, `global_data_mesh`,
+`local_to_global`) and a runnable worker (`python -m
+vo_tpu.parallel.multihost --coordinator ... --process-id i ...`). Without
+TPU pods in this sandbox, the harness is validated the standard way: N
+local processes, each given a slice of virtual CPU devices
+(`--xla_force_host_platform_device_count`), joined through a real
+`jax.distributed` coordinator with Gloo cross-process collectives — the
+same code path a pod would run, minus the ICI.
+
+Launch via `run_multiseq.py --multihost N` (spawns the workers and prints
+the weak-scaling table) or run workers by hand across real hosts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
+    """Join the jax.distributed cluster. Must run before any jax compute.
+
+    On a real pod slice, jax infers everything from the TPU environment and
+    plain `jax.distributed.initialize()` suffices; here the coordinator is
+    explicit so CPU processes on one machine can form a cluster.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_data_mesh():
+    """("data",) mesh over every device of every process."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def local_to_global(tree, mesh, batch_axis: int = 0):
+    """Promote a pytree of host-local, batch-leading arrays to global
+    jax.Arrays sharded over the mesh "data" axis. Each process contributes
+    its local lanes; the global batch is the concatenation over processes.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    specs = jax.tree_util.tree_map(lambda _: P("data"), tree)
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, specs)
+
+
+# ---------------------------------------------------------------------------
+# Worker entry: lockstep multi-sequence VO over the global mesh
+# ---------------------------------------------------------------------------
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser(description="multi-host VO worker")
+    p.add_argument("--coordinator", default="127.0.0.1:9731")
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--lanes-per-device", type=int, default=1)
+    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--capacity", type=int, default=128)
+    p.add_argument("--crop", default="128x256",
+                   help="HxW crop of each frame (keeps CPU compile fast)")
+    p.add_argument("--data-root", default="/root/reference/tests/test_data")
+    p.add_argument("--dataset", default="kitti")
+    p.add_argument("--repeats", type=int, default=2,
+                   help="timed rollout repeats (first is warmup)")
+    return p.parse_args(argv)
+
+
+def worker_main(argv=None) -> int:
+    args = _parse(argv)
+    # Env must be pinned before jax initializes; the launcher normally sets
+    # these, this is for by-hand runs.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    initialize(args.coordinator, args.num_processes, args.process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vo_tpu.data import Sequence
+    from vo_tpu.models.pipeline import bootstrap
+    from vo_tpu.parallel.multiseq import make_sharded_rollout
+    from vo_tpu.utils.config import VOConfig
+
+    pid = args.process_id
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    lanes_local = n_local * args.lanes_per_device
+    lanes_global = n_global * args.lanes_per_device
+    mesh = global_data_mesh()
+
+    # --- sanity collective: proves DCN-style cross-process reduction ---
+    @jax.jit
+    def _gsum(x):
+        return jnp.sum(x)
+
+    ones = local_to_global(np.full((lanes_local,), 1.0, np.float32), mesh)
+    gsum = float(_gsum(ones))
+    assert gsum == float(lanes_global), (gsum, lanes_global)
+
+    # --- local lanes: bootstrap + frame plan on the host, tiny shapes ---
+    h, w = (int(v) for v in args.crop.split("x"))
+    seq = Sequence(args.dataset, path=args.data_root)
+    imgs = [np.asarray(seq.get_frame(i))[:h, :w] for i in range(len(seq))]
+    K = np.asarray(seq.K, np.float32)
+    cfg = VOConfig(capacity=args.capacity)
+
+    st0, _ = bootstrap(
+        jnp.asarray(imgs[0]), jnp.asarray(imgs[2]), jnp.asarray(K), cfg,
+        jax.random.PRNGKey(2023 + pid),
+    )
+    states = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x)[None], (lanes_local,) + x.shape),
+        st0,
+    )
+    # Independent RNG lanes (deterministic per global lane index).
+    keys = jax.random.split(jax.random.PRNGKey(7), lanes_global)
+    lane_lo = pid * lanes_local
+    states = states._replace(
+        rng=np.asarray(keys[lane_lo:lane_lo + lanes_local])
+    )
+
+    order = list(range(3, len(imgs))) + list(range(len(imgs) - 2, 0, -1)) + [1, 2]
+    plan = (order * (args.steps // len(order) + 1))[: args.steps]
+    local_stack = np.stack(
+        [np.stack([imgs[f]] * lanes_local) for f in plan]
+    )  # (N, B_local, H, W)
+    Ks = np.broadcast_to(K, (lanes_local, 3, 3))
+
+    # --- promote host-local lanes to ONE global SPMD program ---
+    g_states = local_to_global(states, mesh)
+    from jax.experimental import multihost_utils
+
+    g_stack = multihost_utils.host_local_array_to_global_array(
+        local_stack, mesh, P(None, "data")
+    )
+    g_Ks = local_to_global(Ks, mesh)
+
+    rollout = make_sharded_rollout(mesh, cfg)
+    dt_best = None
+    for r in range(max(2, args.repeats)):
+        t0 = time.perf_counter()
+        out_state, outs = rollout(g_states, g_stack, g_Ks)
+        jax.block_until_ready(outs.pose)
+        dt = time.perf_counter() - t0
+        if r > 0:
+            dt_best = dt if dt_best is None else min(dt_best, dt)
+
+    # Every process sees the globally-consistent result on its addressable
+    # shards; verify local lanes produced finite poses.
+    local_pose = np.concatenate(
+        [np.asarray(s.data) for s in outs.pose.addressable_shards], axis=1
+    )
+    finite = bool(np.isfinite(local_pose).all())
+
+    result = {
+        "metric": "multihost_vo",
+        "num_processes": args.num_processes,
+        "devices_global": n_global,
+        "lanes_global": lanes_global,
+        "steps": args.steps,
+        "agg_fps": round(args.steps * lanes_global / dt_best, 3),
+        "gsum_ok": True,
+        "finite": finite,
+        "process_id": pid,
+    }
+    # One report line per run: process 0 speaks for the cluster (all
+    # processes executed the same SPMD program and the same barriers).
+    if pid == 0:
+        print(json.dumps(result), flush=True)
+    return 0 if finite else 1
+
+
+if __name__ == "__main__":
+    sys.exit(worker_main())

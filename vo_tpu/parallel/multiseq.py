@@ -66,3 +66,43 @@ def batched_vo_rollout(states: VOState, images: jnp.ndarray, Ks: jnp.ndarray, cf
         return batched_vo_step(st, img, Ks, cfg)
 
     return jax.lax.scan(body, states, images)
+
+
+def make_sharded_rollout(mesh: Mesh, cfg: VOConfig):
+    """Rollout with the batch EXPLICITLY shard_mapped over the mesh "data"
+    axis — the deployment shape for multi-chip / multi-host lockstep lanes.
+
+    Why not plain jit + GSPMD propagation (`batched_vo_rollout`)? Lanes are
+    fully independent, but two ops inside `vo_step` break propagation and
+    make XLA insert per-frame collectives (measured on the 2-process CPU
+    cluster, see run_multiseq.py --multihost):
+
+      * the LK early-exit `lax.while_loop`: an SPMD loop condition must be
+        uniform across participants, so XLA all-reduces it — one cross-host
+        rendezvous per LK iteration per frame;
+      * `top_k` (detection NMS, descriptor matching): the TopK custom-call
+        is not partition-aware, so XLA all-gathers full per-lane response
+        maps every frame.
+
+    Under `shard_map` each device traces vo_step on its LOCAL lanes only:
+    loop conditions are local, top_k is local, and the program contains
+    zero collectives by construction. This is the difference between ~77 %
+    and ~100 % weak-scaling efficiency at 2 hosts.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local(states, images, Ks):
+        def body(st, img):
+            return jax.vmap(lambda s, i, k: vo_step(s, i, k, cfg))(st, img, Ks)
+
+        return jax.lax.scan(body, states, images)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("data"), P(None, "data"), P("data")),
+            out_specs=(P("data"), P(None, "data")),
+            check_rep=False,
+        )
+    )
