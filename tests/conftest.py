@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Persistent compiled-executable cache: re-runs of the suite skip most XLA
+# compile time (the dominant cost of the e2e tests).
+from vo_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu"
 # programmatically, which beats the env var — override it back to cpu so the
 # suite runs on the 8-device virtual CPU mesh, not through the TPU tunnel.

@@ -82,6 +82,7 @@ def test_detect_keypoints_auto_is_xla_on_cpu():
     np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy))
 
 
+@pytest.mark.slow
 def test_patch_gather_matches_dynamic_slice():
     from vo_tpu.ops.pallas_kernels import extract_patches_aligned
 
@@ -118,6 +119,7 @@ def test_pyramidal_lk_pallas_flag_cpu_fallback():
     np.testing.assert_allclose(np.asarray(a.xy), np.asarray(b.xy))
 
 
+@pytest.mark.slow
 def test_batched_kernels_match_per_image():
     """The (B, ...) grid variants and the custom_vmap dispatch must equal a
     per-image loop of the single-image kernels (interpret mode; the on-TPU

@@ -1,6 +1,7 @@
 """Sharding tests on the 8-device virtual CPU mesh (the standard stand-in
 for TPU collectives — SURVEY §4)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -53,6 +54,7 @@ def test_distributed_gn_matches_single_device(rng):
     np.testing.assert_allclose(T_dist, T_single, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_batched_vo_step_runs_sharded(rng):
     """B independent sequences advance in lockstep over the data axis."""
     from vo_tpu.utils.config import DetectorConfig, KLTConfig, VOConfig
@@ -76,6 +78,7 @@ def test_batched_vo_step_runs_sharded(rng):
     assert new_states.table.xy.shape == (8, 64, 2)
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     import __graft_entry__ as graft
 

@@ -120,6 +120,7 @@ def test_pnp_ransac_with_outliers(rng):
     np.testing.assert_allclose(T[:3], T_cv, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_pnp_ransac_valid_mask(rng):
     X_w, uv, T_true = make_scene(rng, 128, noise=0.2)
     valid = np.ones(128, bool)

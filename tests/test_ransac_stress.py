@@ -107,6 +107,7 @@ def test_fundamental_recovers_at_50pct_outliers():
     assert np.median(err) < 1.5**2
 
 
+@pytest.mark.slow
 def test_chunked_matches_unchunked():
     """Same key + same total budget => identical sampling, equivalent best
     score whether solved in one vmap block or a scan of chunks."""

@@ -5,6 +5,7 @@ planted structure as the ground-truth oracle, invariance checks instead of
 golden values.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -65,6 +66,7 @@ def test_scale_assignment_tracks_blob_size(rng):
     assert s_big > 1.5 * s_small, (s_small, s_big)
 
 
+@pytest.mark.slow
 def test_descriptor_matches_under_rotation(rng):
     """Descriptors of the same scene rotated 90 deg must match by identity
     (90 deg keeps resampling exact, isolating rotation invariance)."""
@@ -99,6 +101,7 @@ def test_descriptor_matches_under_rotation(rng):
     assert good / total > 0.7, f"{good}/{total} geometric agreement"
 
 
+@pytest.mark.slow
 def test_describe_at_given_points_is_stable(rng):
     """sift_describe at identical (xy, sigma) on the same image is
     deterministic and unit-norm."""
