@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--no-ba", action="store_true", help="disable windowed BA")
     p.add_argument("--ba-window", type=int, default=6)
     p.add_argument("--ba-every", type=int, default=3)
+    p.add_argument("--kf-mode", choices=["adaptive", "every"], default="adaptive",
+                   help="keyframe policy: motion/covisibility-gated (adaptive) "
+                        "or fixed cadence (every --ba-every frames)")
     p.add_argument("--checkpoint", default="", help="write checkpoints here (.npz)")
     p.add_argument("--checkpoint-every", type=int, default=100)
     p.add_argument("--resume", default="", help="resume from a checkpoint (.npz)")
@@ -95,7 +98,7 @@ def main(argv=None):
         tracker=args.tracker,
         detector=DetectorConfig(method=args.detector),
         ba=BAConfig(enabled=not args.no_ba, window=args.ba_window,
-                    keyframe_every=args.ba_every),
+                    keyframe_every=args.ba_every, keyframe_mode=args.kf_mode),
     )
     K = jnp.asarray(seq.K)
     gap = cfg.bootstrap.frame_gap

@@ -58,6 +58,11 @@ class PathSpec:
     step_m: float = 0.3
     wiggle_amp: float = 0.008  # rad of smooth yaw wiggle (realism; tiny)
     wiggle_wavelength_m: float = 23.0
+    # Stop-and-go: ((start_frame, n_frames), ...) — the camera holds its
+    # pose for n_frames starting at start_frame (traffic-light stops; the
+    # reference's Malaga drive has them). GT stays exact: stopped frames
+    # simply repeat the arc-length sample.
+    stops: Tuple[Tuple[int, int], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,14 +142,20 @@ def make_path(path: PathSpec, num_frames: int) -> np.ndarray:
     integration), so speed is constant by construction — the exact-GT
     property every accuracy test leans on."""
     step = path.step_m
-    s = np.arange(num_frames, dtype=np.float64) * step
+    # Frame -> moving-step mapping: a stopped frame advances 0 arc length.
+    moving = np.ones(num_frames, dtype=np.float64)
+    for start, n in path.stops:
+        moving[start:start + n] = 0.0
+    steps_done = np.concatenate([[0.0], np.cumsum(moving)])[:num_frames]
+    s = steps_done * step
     theta = _heading_at(path, s)
-    theta_mid = _heading_at(path, (np.arange(num_frames) + 0.5) * step)
+    theta_mid = _heading_at(path, (steps_done + 0.5 * moving) * step)
     dirs = np.stack(
         [np.sin(theta_mid), np.zeros_like(theta_mid), np.cos(theta_mid)], -1
     )
     pos = np.concatenate(
-        [np.zeros((1, 3)), np.cumsum(step * dirs[:-1], axis=0)], axis=0
+        [np.zeros((1, 3)), np.cumsum(step * moving[:-1, None] * dirs[:-1], axis=0)],
+        axis=0,
     )
     c, sn = np.cos(theta), np.sin(theta)
     # Columns: right = (cos, 0, -sin), down = (0, 1, 0), fwd = (sin, 0, cos).

@@ -66,6 +66,7 @@ class VOState(NamedTuple):
     next_uid: jnp.ndarray  # () int32
     rng: jax.Array
     window: BAWindow  # sliding keyframe window for on-device BA
+    last_kf_idx: jnp.ndarray  # () int32 frame index of the newest keyframe
 
 
 class StepOutput(NamedTuple):
@@ -280,6 +281,7 @@ def bootstrap(
         next_uid=jnp.asarray(kcap, jnp.int32),
         rng=rng,
         window=window,
+        last_kf_idx=jnp.asarray(cfg.bootstrap.frame_gap, jnp.int32),
     )
     n3 = good3d.sum()
     out = StepOutput(
@@ -518,8 +520,40 @@ def vo_step(
             window,
         )
 
+        # -- Keyframe policy --
+        if cfg.ba.keyframe_mode == "every":
+            want_kf = new_frame_idx % cfg.ba.keyframe_every == 0
+        else:
+            # Adaptive: keyframes carry information ∝ parallax, not ∝ time.
+            # Push when motion or map turnover since the newest keyframe is
+            # significant; always within [min_gap, max_gap] frames.
+            b = cfg.ba
+            last_pose = window.kf_pose[-1].reshape(4, 4)
+            gap = new_frame_idx - state.last_kf_idx
+            tri_f = table.state == STATE_TRIANGULATED
+            n_tri = jnp.maximum(tri_f.sum(), 1)
+            z_tri = (T_cw[2, :3] * table.landmark).sum(-1) + T_cw[2, 3]
+            mean_depth = jnp.maximum(
+                (jnp.where(tri_f, z_tri, 0.0)).sum() / n_tri, 1e-3
+            )
+            baseline = jnp.linalg.norm(pose[:3, 3] - last_pose[:3, 3])
+            cos_r = 0.5 * (jnp.trace(last_pose[:3, :3].T @ pose[:3, :3]) - 1.0)
+            rot = jnp.arccos(jnp.clip(cos_r, -1.0, 1.0))
+            covis = (
+                (tri_f & window.obs_mask[:, -1] & (window.lm_uid == table.uid)).sum()
+                / n_tri
+            )
+            want_kf = (gap >= b.min_gap) & (
+                (baseline / mean_depth >= b.min_baseline_ratio)
+                | (rot >= b.min_rotation_rad)
+                | (covis < b.min_covisibility)
+                | (gap >= b.max_gap)
+            )
+            # Empty window (bootstrap edge / post-recovery): restart now.
+            want_kf = want_kf | ~window.kf_valid[-1]
+
         def _with_ba(op):
-            win, tbl, p = op
+            win, tbl, p, _ = op
             win = push_keyframe(
                 win, p, xy_u, tbl.landmark, tbl.uid,
                 tbl.state == STATE_TRIANGULATED,
@@ -536,14 +570,16 @@ def vo_step(
             tbl = tbl._replace(
                 landmark=jnp.where(match[:, None], win.landmark, tbl.landmark)
             )
-            return win, tbl, win.kf_pose[-1].reshape(4, 4)
+            return win, tbl, win.kf_pose[-1].reshape(4, 4), new_frame_idx
 
-        window, table, pose = jax.lax.cond(
-            (new_frame_idx % cfg.ba.keyframe_every == 0) & pose_ok,
+        window, table, pose, last_kf_idx = jax.lax.cond(
+            want_kf & pose_ok,
             _with_ba,
             lambda op: op,
-            (window, table, pose),
+            (window, table, pose, state.last_kf_idx),
         )
+    else:
+        last_kf_idx = state.last_kf_idx
 
     new_state = VOState(
         table=table,
@@ -554,6 +590,7 @@ def vo_step(
         next_uid=next_uid,
         rng=rng,
         window=window,
+        last_kf_idx=last_kf_idx,
     )
     out = StepOutput(
         pose=pose,

@@ -125,7 +125,21 @@ class BAConfig:
 
     enabled: bool = True
     window: int = 6  # keyframes in the window
-    keyframe_every: int = 3  # frames between keyframes
+    keyframe_every: int = 3  # frames between keyframes (mode "every")
+    # Keyframe policy. "every": fixed cadence (the round-1 behavior).
+    # "adaptive": motion/covisibility-gated selection — push when the
+    # baseline since the last keyframe is significant relative to scene
+    # depth, the camera has rotated, or map overlap with the newest
+    # keyframe has decayed; always within [min_gap, max_gap] frames.
+    # Keyframes carry information ∝ parallax, not ∝ time: fixed cadence
+    # wastes BA iterations on near-identical views when slow/stopped and
+    # under-samples fast turns.
+    keyframe_mode: str = "adaptive"
+    min_gap: int = 2  # never two keyframes closer than this (frames)
+    max_gap: int = 9  # force a keyframe at least this often (frames)
+    min_baseline_ratio: float = 0.012  # baseline / mean tri depth
+    min_rotation_rad: float = 0.03  # ~1.7 deg since last keyframe
+    min_covisibility: float = 0.6  # overlap with newest keyframe
     iters: int = 5  # GN iterations per refinement
     damping: float = 1e-3
     huber_px: float = 2.0
