@@ -38,9 +38,11 @@ def parse_args(argv=None):
     p.add_argument("--no-ba", action="store_true", help="disable windowed BA")
     p.add_argument("--ba-window", type=int, default=6)
     p.add_argument("--ba-every", type=int, default=3)
-    p.add_argument("--kf-mode", choices=["adaptive", "every"], default="adaptive",
-                   help="keyframe policy: motion/covisibility-gated (adaptive) "
-                        "or fixed cadence (every --ba-every frames)")
+    p.add_argument("--kf-mode", choices=["adaptive", "every"], default="every",
+                   help="keyframe policy: fixed cadence (every --ba-every "
+                        "frames; the validated default) or motion/"
+                        "covisibility-gated (adaptive — use on stop-and-go "
+                        "footage; see tools/ablate_keyframes.py + EVAL.md)")
     p.add_argument("--checkpoint", default="", help="write checkpoints here (.npz)")
     p.add_argument("--checkpoint-every", type=int, default=100)
     p.add_argument("--resume", default="", help="resume from a checkpoint (.npz)")
@@ -61,6 +63,17 @@ def parse_args(argv=None):
                         "launch/fetch per chunk)")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the native decode-ahead frame prefetcher")
+    p.add_argument("--pose-graph", action="store_true",
+                   help="long-term pose-graph back-end with appearance loop "
+                        "closure (keyframe DB + SE(3) graph GN); the global "
+                        "trajectory is re-anchored after optimization")
+    p.add_argument("--pg-every", type=int, default=8,
+                   help="frames between pose-graph keyframes")
+    p.add_argument("--pg-nodes", type=int, default=256,
+                   help="pose-graph capacity; older keyframes are culled by "
+                        "chain-span score when full")
+    p.add_argument("--pg-min-frame-gap", type=int, default=100)
+    p.add_argument("--pg-min-similarity", type=float, default=0.85)
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -151,6 +164,35 @@ def main(argv=None):
               "falling back to --chunk 1")
         chunk = 1
 
+    backend = None
+    next_pg = start_frame
+    if args.pose_graph:
+        from vo_tpu.models.backend import BackendConfig, PoseGraphBackend
+
+        backend = PoseGraphBackend(
+            K,
+            BackendConfig(
+                nodes=args.pg_nodes,
+                min_frame_gap=args.pg_min_frame_gap,
+                min_similarity=args.pg_min_similarity,
+            ),
+        )
+
+    def maybe_pose_graph(i, img_np):
+        """Register frame i as a pose-graph keyframe if its cadence is due
+        (runs off the per-frame critical path, once per pg_every frames)."""
+        nonlocal next_pg
+        if backend is None or i < next_pg:
+            return
+        next_pg = i + args.pg_every
+        info = backend.on_keyframe(img_np, state.pose, state.table, i)
+        if info and not args.quiet:
+            print(
+                f"[vo_tpu] LOOP closed: frame {info['frame']} <-> "
+                f"{info['matched_frame']} (sim {info['similarity']:.2f}, "
+                f"{info['inliers']} inliers)"
+            )
+
     def record(i, out, dt):
         frame_ids.append(i)
         poses.append(np.asarray(out.pose))
@@ -201,6 +243,7 @@ def main(argv=None):
                 record(i + k, one, dt / chunk)
                 fps_meter.tick()
             maybe_checkpoint(i + n - 1)
+            maybe_pose_graph(i + n - 1, raw[n - 1])
             i += n
     else:
         for i in range(start_frame, n_frames):
@@ -215,6 +258,7 @@ def main(argv=None):
                 compile_time = dt
             record(i, out, dt)
             maybe_checkpoint(i)
+            maybe_pose_graph(i, np.asarray(raw))
             fps_meter.tick()
             if args.debug_validate:
                 from vo_tpu.models.feature_table import debug_validate
@@ -247,10 +291,30 @@ def main(argv=None):
     est = np.stack(poses)
     result = {"fps_steady": fps, "frames": len(stats) + 2}
 
+    est_raw = None
+    if backend is not None and backend.n_nodes >= 2:
+        t0 = time.time()
+        backend.optimize()
+        est_raw = est
+        est = backend.correct(est, np.asarray(frame_ids))
+        result.update(
+            pg_nodes=backend.n_nodes, pg_loops=backend.n_loops,
+            pg_culled=backend.n_culled, pg_seconds=round(time.time() - t0, 2),
+        )
+        print(
+            f"[vo_tpu] pose graph: {backend.n_nodes} nodes, "
+            f"{backend.n_loops} loop(s), {backend.n_culled} culled, "
+            f"optimized in {time.time() - t0:.1f}s"
+        )
+
     if args.save_npz:
         os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)
+        extra = {}
+        if est_raw is not None:
+            extra = dict(poses_raw=est_raw,
+                         loops=json.dumps(backend.loops))
         np.savez(args.save_npz, poses=est, frame_ids=np.asarray(frame_ids),
-                 stats=json.dumps(stats))
+                 stats=json.dumps(stats), **extra)
         print(f"[vo_tpu] wrote {args.save_npz}")
 
     # Metrics over the finite prefix: a diverged run (non-finite poses after
@@ -268,6 +332,13 @@ def main(argv=None):
         t_rpe, r_rpe = rpe(est_m, gt)
         result.update(ate_rmse_m=ate, rpe_trans_m=t_rpe, rpe_rot_rad=r_rpe)
         print(f"[vo_tpu] ATE RMSE {ate:.4f} m | RPE {t_rpe:.4f} m / {r_rpe*57.3:.3f} deg")
+        if est_raw is not None:
+            ate_raw = ate_rmse(
+                positions_from_poses(est_raw[:n_ok]), positions_from_poses(gt)
+            )
+            result.update(ate_rmse_m_pre_pg=ate_raw)
+            print(f"[vo_tpu] ATE RMSE before pose graph: {ate_raw:.4f} m "
+                  f"({ate_raw / max(ate, 1e-9):.1f}x)")
 
     if args.trajectory_pdf:
         tab = state.table

@@ -543,11 +543,17 @@ def vo_step(
                 (tri_f & window.obs_mask[:, -1] & (window.lm_uid == table.uid)).sum()
                 / n_tri
             )
+            # A stationary camera must push NO keyframes at all — not even
+            # the max_gap force: zero-baseline keyframes shrink the window's
+            # physical span toward zero and the monocular gauge pair
+            # degenerates (the r2 stop-and-go failure, 112 fallbacks with
+            # fixed cadence — tools/ablate_keyframes.py).
+            moving = baseline / mean_depth >= 0.25 * b.min_baseline_ratio
             want_kf = (gap >= b.min_gap) & (
                 (baseline / mean_depth >= b.min_baseline_ratio)
                 | (rot >= b.min_rotation_rad)
-                | (covis < b.min_covisibility)
-                | (gap >= b.max_gap)
+                | (moving & (covis < b.min_covisibility))
+                | (moving & (gap >= b.max_gap))
             )
             # Empty window (bootstrap edge / post-recovery): restart now.
             want_kf = want_kf | ~window.kf_valid[-1]

@@ -1,0 +1,340 @@
+"""Pose-graph back-end: long-term keyframe chain + batched SE(3) graph GN.
+
+The reference keeps exactly a two-frame window (state.py:9-13) and its report
+names a global back-end as future work (Report.pdf 3.1.1: "bundle adjustment
+/ pose graph optimization ... would likely reduce the scale drift"). Nothing
+like this exists in the reference code, so the design is TPU-first from
+scratch:
+
+  * **fixed-capacity node chain** — keyframes appended in order; node id =
+    append order, so the odometry ("sequential") constraints need no edge
+    list at all: `rel_prev[k]` stores the measured relative pose between
+    chain-neighbor keyframes. Culling a node composes its two chain
+    constraints into one and compacts the arrays with a gather permutation
+    (no dynamic shapes, jit-safe).
+  * **fixed-capacity loop-edge store** — place-recognition constraints
+    between arbitrary node pairs (i < j), appended masked.
+  * **batched Gauss-Newton over SE(3)** — every constraint contributes a
+    6-vector residual r = log(z^-1 T_a^-1 T_b) with analytic right-
+    perturbation Jacobians (first-order inverse right Jacobian,
+    J ~ I + 0.5 ad(r)); the dense (6N, 6N) normal system is assembled with
+    scatter-adds and solved in one shot — at N <= 256 nodes the dense solve
+    is tiny for the MXU and avoids all sparse bookkeeping.
+  * fixed iteration count, Levenberg damping, gauge frozen at the oldest
+    valid node: no data-dependent control flow anywhere.
+
+Monocular caveat: constraints are SE(3), not Sim(3); scale drift between a
+loop's two ends is absorbed as translation error spread over the chain. The
+sliding-window BA's gauge/scale fixing (models/ba.py `fix_scale`) keeps that
+drift small enough for SE(3) closure to pay off; see EVAL.md.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vo_tpu.geom.lie import pose_inverse, se3_exp, se3_log
+from vo_tpu.geom.points import skew
+
+_GAUGE = 1e8  # diagonal added to the gauge node / dead nodes
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity keyframe pose graph.
+
+    Nodes live at indices [0, n_nodes); append order is chain order.
+    `rel_prev[k]` is the measured pose of node k in node k-1's frame
+    (T_{k-1}^-1 T_k at insertion time); row 0 is unused (identity).
+    """
+
+    node_pose: jnp.ndarray  # (N, 16) w_T_c per keyframe (current estimate)
+    node_frame: jnp.ndarray  # (N,) int32 frame index of the keyframe
+    node_valid: jnp.ndarray  # (N,) bool
+    rel_prev: jnp.ndarray  # (N, 16) chain constraint k-1 -> k
+    loop_ij: jnp.ndarray  # (E, 2) int32 node ids (i < j), -1 if free
+    loop_rel: jnp.ndarray  # (E, 16) measured i_T_j
+    loop_valid: jnp.ndarray  # (E,) bool
+    seq_weight: jnp.ndarray  # () relative info of chain vs loop constraints
+
+    @property
+    def capacity(self) -> int:
+        return self.node_pose.shape[0]
+
+    @property
+    def n_nodes(self) -> jnp.ndarray:
+        return self.node_valid.sum()
+
+
+def empty_pose_graph(
+    num_nodes: int, num_loop_edges: int, seq_weight: float = 1.0
+) -> PoseGraph:
+    eye = jnp.eye(4, dtype=jnp.float32).reshape(1, 16)
+    return PoseGraph(
+        node_pose=jnp.tile(eye, (num_nodes, 1)),
+        node_frame=jnp.full((num_nodes,), -1, jnp.int32),
+        node_valid=jnp.zeros((num_nodes,), bool),
+        rel_prev=jnp.tile(eye, (num_nodes, 1)),
+        loop_ij=jnp.full((num_loop_edges, 2), -1, jnp.int32),
+        loop_rel=jnp.tile(eye, (num_loop_edges, 1)),
+        loop_valid=jnp.zeros((num_loop_edges,), bool),
+        seq_weight=jnp.asarray(seq_weight, jnp.float32),
+    )
+
+
+def add_node(graph: PoseGraph, pose: jnp.ndarray, frame: jnp.ndarray) -> PoseGraph:
+    """Append a keyframe (masked no-op when full — cull first).
+
+    The chain constraint to the previous node is measured from the *current*
+    estimates at insertion time, exactly like an odometry edge.
+    """
+    k = graph.n_nodes
+    ok = k < graph.capacity
+    prev = graph.node_pose[jnp.maximum(k - 1, 0)].reshape(4, 4)
+    rel = pose_inverse(prev) @ pose
+    rel = jnp.where(k > 0, rel, jnp.eye(4, dtype=pose.dtype))
+    idx = jnp.where(ok, k, 0)  # masked write target
+
+    def wr(arr, row):
+        return arr.at[idx].set(jnp.where(ok, row, arr[idx]))
+
+    return graph._replace(
+        node_pose=wr(graph.node_pose, pose.reshape(16)),
+        node_frame=wr(graph.node_frame, jnp.asarray(frame, jnp.int32)),
+        node_valid=wr(graph.node_valid, ok),
+        rel_prev=wr(graph.rel_prev, rel.reshape(16)),
+    )
+
+
+def add_loop_edge(
+    graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray, rel: jnp.ndarray
+) -> PoseGraph:
+    """Append a loop constraint: node j's pose in node i's frame (masked
+    no-op when the edge store is full or i==j)."""
+    e = graph.loop_valid.sum()
+    ok = (e < graph.loop_ij.shape[0]) & (i != j) & (i >= 0) & (j >= 0)
+    idx = jnp.where(ok, e, 0)
+
+    def wr(arr, row):
+        return arr.at[idx].set(jnp.where(ok, row, arr[idx]))
+
+    return graph._replace(
+        loop_ij=wr(graph.loop_ij, jnp.stack([i, j]).astype(jnp.int32)),
+        loop_rel=wr(graph.loop_rel, rel.reshape(16)),
+        loop_valid=wr(graph.loop_valid, ok),
+    )
+
+
+def chain_span_scores(graph: PoseGraph) -> jnp.ndarray:
+    """Per-node culling score: the chain span a node's removal would merge
+    (|t| of its incoming + outgoing constraints). Low score = the node's
+    neighbors almost coincide with it = least information lost by culling —
+    the distance-proxy for covisibility (nearby keyframes see the same map).
+    Protected nodes (gauge node 0, the chain tail, loop-edge endpoints,
+    invalid rows) score +inf."""
+    t_in = jnp.linalg.norm(graph.rel_prev.reshape(-1, 4, 4)[:, :3, 3], axis=-1)
+    t_out = jnp.concatenate([t_in[1:], jnp.zeros((1,), t_in.dtype)])
+    score = t_in + t_out
+    n = graph.n_nodes
+    idx = jnp.arange(graph.capacity)
+    flat = jnp.where(graph.loop_valid[:, None], graph.loop_ij, 0).reshape(-1)
+    marks = jnp.zeros((graph.capacity,), jnp.int32).at[flat].add(
+        jnp.repeat(graph.loop_valid.astype(jnp.int32), 2), mode="drop"
+    )
+    in_loop = (marks > 0) & graph.node_valid
+    protected = (
+        (idx == 0) | (idx >= n - 1) | in_loop | ~graph.node_valid
+    )
+    return jnp.where(protected, jnp.inf, score)
+
+
+def cull_node(graph: PoseGraph, victim: jnp.ndarray) -> PoseGraph:
+    """Remove node `victim` by contracting its chain constraints
+    (rel[v+1] <- rel[v] @ rel[v+1]) and compacting all node arrays with a
+    gather; loop-edge node ids above the victim shift down by one.
+
+    Masked no-op when victim is invalid (e.g. `argmin(chain_span_scores)`
+    returned an inf row)."""
+    v = jnp.asarray(victim, jnp.int32)
+    ok = (v > 0) & (v < graph.n_nodes - 1) & graph.node_valid[v]
+
+    rel = graph.rel_prev.reshape(-1, 4, 4)
+    succ = jnp.minimum(v + 1, graph.capacity - 1)
+    merged = rel[v] @ rel[succ]
+    rel_prev = graph.rel_prev.at[succ].set(
+        jnp.where(ok, merged.reshape(16), graph.rel_prev[succ])
+    )
+
+    idx = jnp.arange(graph.capacity)
+    src = jnp.where(idx < v, idx, jnp.minimum(idx + 1, graph.capacity - 1))
+    last = graph.n_nodes - 1  # row that becomes free after the shift
+
+    def compact(arr, fill):
+        out = jnp.where(ok, arr[src], arr)
+        return out.at[last].set(jnp.where(ok, fill, out[last]))
+
+    eye16 = jnp.eye(4, dtype=jnp.float32).reshape(16)
+    loop_ij = jnp.where(
+        ok & (graph.loop_ij > v), graph.loop_ij - 1, graph.loop_ij
+    )
+    return graph._replace(
+        node_pose=compact(graph.node_pose, eye16),
+        node_frame=compact(graph.node_frame, jnp.asarray(-1, jnp.int32)),
+        node_valid=compact(graph.node_valid, jnp.asarray(False)),
+        rel_prev=compact(rel_prev, eye16),
+        loop_ij=loop_ij,
+    )
+
+
+def _ad_se3(xi: jnp.ndarray) -> jnp.ndarray:
+    """se(3) adjoint ad(xi) for twist order (v, w): [[w^, v^], [0, w^]]."""
+    v, w = xi[..., :3], xi[..., 3:]
+    wh, vh = skew(w), skew(v)
+    top = jnp.concatenate([wh, vh], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(wh), wh], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _Ad_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint Ad(T) for twist order (v, w): [[R, t^R], [0, R]]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = skew(t) @ R
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _edge_terms(Ta, Tb, z):
+    """Residual + right-perturbation Jacobians for one constraint
+    r = log(z^-1 Ta^-1 Tb); Ta <- Ta exp(xi_a), Tb <- Tb exp(xi_b).
+
+      dr/dxi_b =  Jr^-1(r)            ~ I + 0.5 ad(r)
+      dr/dxi_a = -Jl^-1(r) Ad(z^-1)   ~ -(I - 0.5 ad(r)) Ad(z^-1)
+    """
+    zinv = pose_inverse(z)
+    r = se3_log(zinv @ pose_inverse(Ta) @ Tb)
+    eye = jnp.eye(6, dtype=r.dtype)
+    adr = _ad_se3(r)
+    Jb = eye + 0.5 * adr
+    Ja = -(eye - 0.5 * adr) @ _Ad_se3(zinv)
+    return r, Ja, Jb
+
+
+def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
+                        damping):
+    """One GN step over all constraints. poses: (N, 4, 4)."""
+    Ta = poses[a_idx]
+    Tb = poses[b_idx]
+    r, Ja, Jb = jax.vmap(_edge_terms)(Ta, Tb, z)
+    wm = (w * valid)[:, None, None]
+
+    N6 = 6 * n_cap
+    H = jnp.zeros((n_cap, n_cap, 6, 6), r.dtype)
+    g = jnp.zeros((n_cap, 6), r.dtype)
+    JaW = Ja * wm
+    JbW = Jb * wm
+    H = H.at[a_idx, a_idx].add(jnp.einsum("eia,eib->eab", JaW, Ja))
+    H = H.at[b_idx, b_idx].add(jnp.einsum("eia,eib->eab", JbW, Jb))
+    H = H.at[a_idx, b_idx].add(jnp.einsum("eia,eib->eab", JaW, Jb))
+    H = H.at[b_idx, a_idx].add(jnp.einsum("eia,eib->eab", JbW, Ja))
+    g = g.at[a_idx].add(jnp.einsum("eia,ei->ea", JaW, r))
+    g = g.at[b_idx].add(jnp.einsum("eia,ei->ea", JbW, r))
+
+    diag = jnp.arange(n_cap)
+    H = H.at[diag, diag].add(damping * jnp.eye(6)[None])
+    H = H.at[gauge_idx, gauge_idx].add(_GAUGE * jnp.eye(6))
+    # Unconstrained rows (invalid nodes): pin so the dense solve is well-posed.
+    row_deg = jnp.zeros((n_cap,), r.dtype).at[a_idx].add(valid).at[b_idx].add(valid)
+    H = H.at[diag, diag].add(
+        (row_deg < 0.5)[:, None, None] * _GAUGE * jnp.eye(6)[None]
+    )
+
+    Hd = H.transpose(0, 2, 1, 3).reshape(N6, N6)
+    delta = jnp.linalg.solve(Hd, -g.reshape(N6)).reshape(n_cap, 6)
+    err = jnp.sum((r * r).sum(-1) * w * valid) / jnp.maximum(valid.sum(), 1)
+    return delta, err
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pg_optimize(
+    graph: PoseGraph,
+    iters: int = 10,
+    damping: float = 1e-4,
+) -> tuple[PoseGraph, jnp.ndarray]:
+    """Batched GN over the whole graph. Returns (optimized graph, (iters,)
+    mean squared residual trace — errs[i] is BEFORE step i).
+
+    The gauge is the oldest valid node; the optimized graph is accepted only
+    if the final error did not increase (diverged solves never corrupt the
+    trajectory)."""
+    N = graph.capacity
+    idx = jnp.arange(N)
+    # Chain constraints: (k-1, k) for valid k >= 1.
+    seq_a = jnp.maximum(idx - 1, 0)
+    seq_b = idx
+    seq_valid = graph.node_valid & (idx >= 1) & graph.node_valid[seq_a]
+    # Loop constraints.
+    li = jnp.clip(graph.loop_ij[:, 0], 0, N - 1)
+    lj = jnp.clip(graph.loop_ij[:, 1], 0, N - 1)
+    lv = graph.loop_valid & graph.node_valid[li] & graph.node_valid[lj]
+
+    a_idx = jnp.concatenate([seq_a, li])
+    b_idx = jnp.concatenate([seq_b, lj])
+    z = jnp.concatenate(
+        [graph.rel_prev.reshape(-1, 4, 4), graph.loop_rel.reshape(-1, 4, 4)]
+    )
+    w = jnp.concatenate(
+        [jnp.full((N,), graph.seq_weight), jnp.ones((graph.loop_valid.shape[0],))]
+    )
+    valid = jnp.concatenate([seq_valid, lv]).astype(z.dtype)
+    gauge_idx = jnp.argmax(graph.node_valid)
+
+    def body(poses, _):
+        delta, err = _assemble_and_solve(
+            poses, a_idx, b_idx, z, w, valid, N, gauge_idx, damping
+        )
+        delta = jnp.where(graph.node_valid[:, None], delta, 0.0)
+        poses = jax.vmap(lambda T, d: T @ se3_exp(d))(poses, delta)
+        return poses, err
+
+    poses0 = graph.node_pose.reshape(-1, 4, 4)
+    poses1, errs = jax.lax.scan(body, poses0, None, length=iters)
+
+    def final_err(poses):
+        r, _, _ = jax.vmap(_edge_terms)(poses[a_idx], poses[b_idx], z)
+        return jnp.sum((r * r).sum(-1) * w * valid) / jnp.maximum(valid.sum(), 1)
+
+    accept = jnp.isfinite(final_err(poses1)) & (final_err(poses1) <= errs[0] * 1.02)
+    poses = jnp.where(accept, poses1.reshape(-1, 16), graph.node_pose)
+    return graph._replace(node_pose=poses), errs
+
+
+def correct_trajectory(
+    traj: jnp.ndarray,  # (F, 4, 4) per-frame w_T_c estimates
+    frame_idx: jnp.ndarray,  # (F,) frame index of each trajectory row
+    node_frame: jnp.ndarray,  # (N,) keyframe frame index (sorted, -1 pad)
+    old_node_pose: jnp.ndarray,  # (N, 16) node poses BEFORE optimization
+    new_node_pose: jnp.ndarray,  # (N, 16) node poses AFTER optimization
+    node_valid: jnp.ndarray,  # (N,) bool
+) -> jnp.ndarray:
+    """Re-anchor every frame to its latest preceding keyframe:
+    T_f' = T_kf_new @ (T_kf_old^-1 @ T_f). Frames before the first keyframe
+    are left untouched. Jit-safe (searchsorted over the padded node table).
+    """
+    big = jnp.int32(2**30)
+    nf = jnp.where(node_valid, node_frame, big)
+    order = jnp.argsort(nf)
+    nf_sorted = nf[order]
+    n_valid = node_valid.sum()
+    pos = jnp.searchsorted(nf_sorted, frame_idx, side="right") - 1
+    has_kf = pos >= 0
+    pos = jnp.clip(pos, 0, jnp.maximum(n_valid - 1, 0))
+    src = order[pos]
+    T_old = old_node_pose[src].reshape(-1, 4, 4)
+    T_new = new_node_pose[src].reshape(-1, 4, 4)
+    corrected = T_new @ pose_inverse(T_old) @ traj
+    return jnp.where(has_kf[:, None, None], corrected, traj)

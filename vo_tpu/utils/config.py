@@ -126,18 +126,27 @@ class BAConfig:
     enabled: bool = True
     window: int = 6  # keyframes in the window
     keyframe_every: int = 3  # frames between keyframes (mode "every")
-    # Keyframe policy. "every": fixed cadence (the round-1 behavior).
+    # Keyframe policy. "every": fixed cadence (the validated default —
+    # ATE 0.78 m on the 600-frame headline run; see EVAL.md).
     # "adaptive": motion/covisibility-gated selection — push when the
     # baseline since the last keyframe is significant relative to scene
     # depth, the camera has rotated, or map overlap with the newest
     # keyframe has decayed; always within [min_gap, max_gap] frames.
     # Keyframes carry information ∝ parallax, not ∝ time: fixed cadence
     # wastes BA iterations on near-identical views when slow/stopped and
-    # under-samples fast turns.
-    keyframe_mode: str = "adaptive"
-    min_gap: int = 2  # never two keyframes closer than this (frames)
-    max_gap: int = 9  # force a keyframe at least this often (frames)
-    min_baseline_ratio: float = 0.012  # baseline / mean tri depth
+    # under-samples fast turns — use "adaptive" on stop-and-go footage.
+    # The r2 default flip to "adaptive" regressed headline ATE 3.3x
+    # (tools/ablate_keyframes.py records the evidence); it stays opt-in
+    # until its gates beat fixed cadence on the no-stop sequence too.
+    keyframe_mode: str = "every"
+    min_gap: int = 3  # never two keyframes closer than this (frames)
+    max_gap: int = 9  # force a keyframe at least this often (while moving)
+    # baseline / mean tri depth. Tuned so normal driving (0.3 m/frame at
+    # ~20 m scene depth) pushes at gap 3 (0.045 >= 0.04) but not gap 2
+    # (0.03 < 0.04) — the r2 value 0.012 fired at every min_gap, halving
+    # the window's physical span and regressing headline ATE 3.3x
+    # (tools/ablate_keyframes.py).
+    min_baseline_ratio: float = 0.04
     min_rotation_rad: float = 0.03  # ~1.7 deg since last keyframe
     min_covisibility: float = 0.6  # overlap with newest keyframe
     iters: int = 5  # GN iterations per refinement
