@@ -49,10 +49,169 @@ def parse_args(argv=None):
                    help="virtual CPU devices per worker process (multihost)")
     p.add_argument("--mh-steps", type=int, default=6)
     p.add_argument("--mh-capacity", type=int, default=128)
+    p.add_argument("--mh-crop", default="",
+                   help="HxW crop for multihost workers (empty = worker "
+                        "default 128x256; '370x1226' = full KITTI frames)")
     p.add_argument("--mh-repeats", type=int, default=4,
                    help="timed rollout repeats per worker (first is warmup; "
                         "best of the rest is reported)")
+    p.add_argument("--full", action="store_true",
+                   help="full-length multi-sequence accuracy eval: render 6 "
+                        "DISTINCT synthetic city sequences (varied seeds/"
+                        "paths, one stop-and-go), roll them full-length in "
+                        "lockstep, report per-lane ATE + aggregate fps, plus "
+                        "a distorted-lens lane run separately (distortion "
+                        "coefficients are config-static)")
+    p.add_argument("--full-frames", type=int, default=600,
+                   help="frames per lane for --full")
+    p.add_argument("--full-root", default="./data/multiseq")
     return p.parse_args(argv)
+
+
+def _full_specs(frames: int):
+    """Six distinct full-length drives over six distinct procedural cities
+    (seed varies scene AND path noise)."""
+    from vo_tpu.data.synthetic import DEFAULT_SPEC, PathSpec
+    import dataclasses
+
+    def spec(seed, segments, stops=()):
+        return dataclasses.replace(
+            DEFAULT_SPEC, num_frames=frames, seed=seed,
+            path=PathSpec(segments=segments, stops=stops),
+        )
+
+    return {
+        "city_lr": spec(0, (("straight", 50.0), ("turn", 90.0, 8.0),
+                            ("straight", 45.0), ("turn", -90.0, 8.0),
+                            ("straight", 60.0))),
+        "city_rl": spec(1, (("straight", 40.0), ("turn", -90.0, 9.0),
+                            ("straight", 55.0), ("turn", 90.0, 7.0),
+                            ("straight", 55.0))),
+        "scurve": spec(2, (("straight", 30.0), ("turn", 45.0, 20.0),
+                           ("turn", -45.0, 20.0), ("straight", 30.0),
+                           ("turn", -45.0, 20.0), ("turn", 45.0, 20.0),
+                           ("straight", 25.0))),
+        "stopgo": spec(3, (("straight", 40.0), ("turn", 90.0, 8.0),
+                           ("straight", 35.0), ("turn", -90.0, 8.0),
+                           ("straight", 30.0)),
+                       stops=((70, 45), (240, 45))),
+        "tight": spec(4, (("straight", 35.0), ("turn", 90.0, 6.0),
+                          ("straight", 30.0), ("turn", 90.0, 6.0),
+                          ("straight", 35.0), ("turn", 90.0, 6.0),
+                          ("straight", 30.0))),
+        "longrun": spec(5, (("straight", 90.0), ("turn", -60.0, 15.0),
+                            ("straight", 70.0))),
+    }
+
+
+def run_full(args):
+    """Full-length lockstep eval over 6 distinct sequences (VERDICT r2 item
+    6: nothing ran B>1 DISTINCT full-length sequences before)."""
+    import dataclasses
+    import os
+    import time
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from vo_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vo_tpu.data import Sequence, ate_rmse
+    from vo_tpu.data.evaluate import positions_from_poses
+    from vo_tpu.data.synthetic import generate
+    from vo_tpu.models.pipeline import bootstrap, vo_rollout
+    from vo_tpu.parallel.multiseq import batched_vo_rollout
+    from vo_tpu.utils.config import VOConfig
+
+    specs = _full_specs(args.full_frames)
+    # The stop-and-go lane runs the adaptive keyframe policy's home turf;
+    # the batched program is config-static, so all lanes share the default
+    # (fixed-cadence) config — EVAL.md documents the per-policy split.
+    cfg = VOConfig(capacity=args.capacity)
+    names = list(specs)
+    stacks, states, gts = [], [], []
+    for i, name in enumerate(names):
+        root = os.path.join(args.full_root, name)
+        generate(os.path.join(root, "parking"), specs[name])
+        seq = Sequence("parking", path=root)
+        n = len(seq)
+        imgs = np.stack([np.asarray(seq.get_frame(j)) for j in range(n)])
+        K = jnp.asarray(seq.K)
+        st, _ = bootstrap(
+            jnp.asarray(imgs[0]), jnp.asarray(imgs[2]), K, cfg,
+            jax.random.PRNGKey(2023 + i),
+        )
+        stacks.append(imgs[3:])
+        states.append(st)
+        gts.append(seq.gt_poses)
+    B = len(names)
+    n_steps = min(s.shape[0] for s in stacks)
+    images = jnp.asarray(
+        np.stack([s[:n_steps] for s in stacks], axis=1)
+    )  # (N, B, H, W)
+    batched = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *states
+    )
+    Ks = jnp.broadcast_to(jnp.asarray(seq.K), (B, 3, 3))
+
+    _, w_outs = batched_vo_rollout(batched, images, Ks, cfg)  # compile+warm
+    jax.block_until_ready(w_outs.pose)
+    t0 = time.perf_counter()
+    _, outs = batched_vo_rollout(batched, images, Ks, cfg)
+    jax.block_until_ready(outs.pose)
+    dt = time.perf_counter() - t0
+
+    lanes = []
+    poses = np.asarray(outs.pose)  # (N, B, 4, 4)
+    for b, name in enumerate(names):
+        est = np.concatenate([
+            np.stack([np.eye(4, dtype=np.float32), np.asarray(states[b].pose)]),
+            poses[:, b],
+        ])
+        gt = gts[b][[0, 2] + list(range(3, 3 + n_steps))]
+        ate = ate_rmse(positions_from_poses(est), positions_from_poses(gt))
+        ok = bool(np.isfinite(poses[:, b]).all())
+        lanes.append({"lane": name, "ate_rmse_m": round(float(ate), 3),
+                      "finite": ok})
+        print(json.dumps(lanes[-1]), flush=True)
+
+    # Distorted-lens lane (config-static coefficients -> separate program).
+    dist = (-0.28, 0.08, 0.0005, -0.0005, 0.0)
+    droot = os.path.join(args.full_root, "distorted")
+    dspec = dataclasses.replace(specs["city_lr"], seed=6, dist=dist)
+    generate(os.path.join(droot, "parking"), dspec)
+    dseq = Sequence("parking", path=droot)
+    dcfg = VOConfig(capacity=args.capacity, dist=dist)
+    dimgs = np.stack([np.asarray(dseq.get_frame(j)) for j in range(len(dseq))])
+    dK = jnp.asarray(dseq.K)
+    dst, _ = bootstrap(jnp.asarray(dimgs[0]), jnp.asarray(dimgs[2]), dK, dcfg,
+                       jax.random.PRNGKey(2030))
+    _, douts = vo_rollout(dst, jnp.asarray(dimgs[3:]), dK, dcfg)
+    dest = np.concatenate([
+        np.stack([np.eye(4, dtype=np.float32), np.asarray(dst.pose)]),
+        np.asarray(douts.pose),
+    ])
+    dgt = dseq.gt_poses[[0, 2] + list(range(3, len(dseq)))]
+    date = ate_rmse(positions_from_poses(dest), positions_from_poses(dgt))
+    lanes.append({"lane": "distorted", "ate_rmse_m": round(float(date), 3),
+                  "finite": bool(np.isfinite(dest).all())})
+    print(json.dumps(lanes[-1]), flush=True)
+
+    report = {
+        "metric": "multiseq_full",
+        "lanes": lanes,
+        "batch": B,
+        "steps": int(n_steps),
+        "agg_fps": round(B * n_steps / dt, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(report))
+    return 0
 
 
 def run_multihost(args):
@@ -98,17 +257,36 @@ def run_multihost(args):
             "--capacity", str(args.mh_capacity),
             "--repeats", str(args.mh_repeats),
         ]
+        if args.mh_crop:
+            cmd += ["--crop", args.mh_crop]
         procs = [
             subprocess.Popen(
                 (["taskset", "-c", ",".join(map(str, pinnings[i]))]
                  if pinnings[i] else [])
                 + cmd + ["--process-id", str(i)],
-                env=env, stdout=subprocess.PIPE, text=True,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
             )
             for i in range(nproc)
         ]
-        outs = [p.communicate(timeout=900)[0] for p in procs]
-        assert all(p.returncode == 0 for p in procs), [p.returncode for p in procs]
+        # A hung/dead worker must not orphan its siblings on the coordinator
+        # port: kill the whole cluster on any failure and surface the
+        # captured output instead of a bare returncode assert (ADVICE r2).
+        outs = []
+        try:
+            for p in procs:
+                so, se = p.communicate(timeout=900)
+                outs.append(so)
+                if p.returncode != 0:
+                    raise RuntimeError(
+                        f"multihost worker rc={p.returncode}\n"
+                        f"--- stdout ---\n{so[-2000:]}\n"
+                        f"--- stderr ---\n{se[-2000:]}"
+                    )
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         rep = json.loads(
             [ln for ln in outs[0].splitlines() if ln.startswith("{")][-1]
         )
@@ -134,6 +312,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.multihost:
         return run_multihost(args)
+    if args.full:
+        return run_full(args)
 
     import jax
 

@@ -303,9 +303,15 @@ def main(argv=None):
         )
         print(
             f"[vo_tpu] pose graph: {backend.n_nodes} nodes, "
-            f"{backend.n_loops} loop(s), {backend.n_culled} culled, "
+            f"{backend.n_loops} loop(s), {len(backend.rejected)} candidate(s) "
+            f"failed verification, {backend.n_culled} culled, "
             f"optimized in {time.time() - t0:.1f}s"
         )
+        if backend.rejected and not args.quiet:
+            for r in backend.rejected[:10]:
+                print(f"[vo_tpu]   rejected loop {r['frame']} <-> "
+                      f"{r['matched_frame']} sim {r['similarity']:.3f} "
+                      f"inliers {r['inliers']}")
 
     if args.save_npz:
         os.makedirs(os.path.dirname(args.save_npz) or ".", exist_ok=True)

@@ -65,6 +65,22 @@ def test_two_process_cluster_runs_vo_lockstep():
     assert report["agg_fps"] > 0
 
 
+def test_cross_process_distributed_ba_matches_single_device():
+    """Distributed BA with the mesh "model" axis spanning PROCESSES: landmark
+    rows sharded per process, camera normal equations psum-reduced over the
+    cross-process backend — must match the single-device solver to f32
+    (VERDICT r2 item 3 / SURVEY §5 sequence-parallel analog)."""
+    procs, outs = _spawn_cluster(2, extra=("--dist-ba",))
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"dist-BA worker failed:\n{so}\n{se}"
+    report = json.loads(
+        [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["devices_global"] == 2
+    assert report["match_errs"] and report["match_pose"]
+    assert report["match_landmarks"] and report["improved"]
+
+
 @pytest.mark.slow
 def test_two_process_weak_scaling_efficiency():
     """Weak scaling 1 -> 2 processes with equal per-process core budgets.

@@ -83,6 +83,7 @@ class PoseGraphBackend:
         )
         self.key = jax.random.PRNGKey(7)
         self.loops: list[dict] = []  # accepted loop constraints (telemetry)
+        self.rejected: list[dict] = []  # candidates that failed verification
         self.n_culled = 0
         self._jit_make_entry = jax.jit(
             make_entry,
@@ -150,6 +151,12 @@ class PoseGraphBackend:
                     inliers=int(res.num_inliers),
                 )
                 self.loops.append(info)
+            else:
+                self.rejected.append(dict(
+                    frame=frame, matched_frame=int(self.db.frame[cand.idx]),
+                    similarity=float(cand.similarity),
+                    inliers=int(res.num_inliers),
+                ))
         self.db = self._jit_add_entry(self.db, entry)
         return info
 

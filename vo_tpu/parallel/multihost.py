@@ -86,7 +86,76 @@ def _parse(argv):
     p.add_argument("--dataset", default="kitti")
     p.add_argument("--repeats", type=int, default=2,
                    help="timed rollout repeats (first is warmup)")
+    p.add_argument("--dist-ba", action="store_true",
+                   help="instead of the rollout, run the landmark-sharded "
+                        "distributed BA with the mesh 'model' axis spanning "
+                        "PROCESSES and verify it matches the single-device "
+                        "solver (SURVEY §5 sequence-parallel analog)")
+    p.add_argument("--ba-landmarks-per-device", type=int, default=64)
     return p.parse_args(argv)
+
+
+def _dist_ba_main(args) -> int:
+    """Cross-process distributed BA parity: the BA window's landmark rows are
+    sharded over a mesh whose "model" axis spans every process; the camera-
+    side normal equations ride psum over the cross-process (DCN/Gloo)
+    backend. Every process builds the identical window deterministically
+    (dist_ba.demo_window) and independently computes the single-device
+    reference — the distributed result must match it to f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vo_tpu.models.ba import ba_refine
+    from vo_tpu.parallel.dist_ba import (
+        _window_specs,
+        demo_window,
+        distributed_ba_refine,
+    )
+
+    pid = args.process_id
+    n_global = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("model",))
+    K = jnp.asarray(
+        np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    )
+    L = args.ba_landmarks_per_device * n_global
+    win = demo_window(L, num_keyframes=4, seed=11)
+
+    def to_global(x, spec):
+        sh = NamedSharding(mesh, spec)
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, sh, lambda i: host[i])
+
+    gwin = jax.tree_util.tree_map(to_global, win, _window_specs())
+    out, errs = distributed_ba_refine(mesh, gwin, K, iters=4)
+    ref, ref_errs = ba_refine(win, K, iters=4)
+
+    ok_errs = np.allclose(np.asarray(errs), np.asarray(ref_errs),
+                          rtol=1e-4, atol=1e-4)
+    ok_pose = np.allclose(np.asarray(out.kf_pose), np.asarray(ref.kf_pose),
+                          rtol=1e-3, atol=2e-3)
+    ok_lm = True
+    ref_lm = np.asarray(ref.landmark)
+    for s in out.landmark.addressable_shards:
+        ok_lm &= bool(np.allclose(np.asarray(s.data), ref_lm[s.index],
+                                  rtol=1e-2, atol=5e-3))
+    # BA must actually have optimized something, not compared two no-ops.
+    improved = float(ref_errs[-1]) < 0.7 * float(ref_errs[0])
+    ok = bool(ok_errs and ok_pose and ok_lm and improved)
+    if pid == 0:
+        print(json.dumps({
+            "metric": "multihost_dist_ba",
+            "num_processes": args.num_processes,
+            "devices_global": n_global,
+            "landmarks": L,
+            "err_first": round(float(ref_errs[0]), 4),
+            "err_last": round(float(ref_errs[-1]), 4),
+            "match_errs": ok_errs, "match_pose": ok_pose,
+            "match_landmarks": ok_lm, "improved": improved,
+        }), flush=True)
+    return 0 if ok else 1
 
 
 def worker_main(argv=None) -> int:
@@ -99,6 +168,9 @@ def worker_main(argv=None) -> int:
 
     jax.config.update("jax_platforms", "cpu")
     initialize(args.coordinator, args.num_processes, args.process_id)
+
+    if args.dist_ba:
+        return _dist_ba_main(args)
 
     import jax.numpy as jnp
     import numpy as np

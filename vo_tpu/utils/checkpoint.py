@@ -36,9 +36,23 @@ from vo_tpu.utils.config import (
 )
 
 
+# Format history (ADVICE r2: positional leaf_{i} keys with no version made
+# every VOState field addition silently corrupt old checkpoints):
+#   v1 (r1/r2, implicit): positional leaf_{i} arrays, no version field.
+#   v2 (r3+): keys are pytree KEY PATHS (e.g. "state/table/xy"), plus a
+#      _format_version field — old checkpoints load via the v1 fallback
+#      when the leaf count matches, otherwise fail with a clear message.
+_FORMAT_VERSION = 2
+
+
+def _leaf_key(path) -> str:
+    return "state" + jax.tree_util.keystr(path).replace(".", "/").replace(
+        "[", "/").replace("]", "").replace("'", "")
+
+
 def _flatten(state: VOState) -> dict[str, np.ndarray]:
-    leaves, _ = jax.tree.flatten(state)
-    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    return {_leaf_key(p): np.asarray(x) for p, x in leaves}
 
 
 def save_checkpoint(
@@ -51,6 +65,7 @@ def save_checkpoint(
     """Write state + config (+ trajectory so far) to `path` (.npz)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = _flatten(state)
+    arrays["_format_version"] = np.asarray(_FORMAT_VERSION)
     arrays["_pyramid_levels"] = np.asarray(len(state.pyramid))
     if trajectory is not None:
         arrays["_trajectory"] = np.stack(trajectory)
@@ -67,10 +82,32 @@ def load_checkpoint(path: str) -> tuple[VOState, VOConfig, Any, Any]:
     data = np.load(path)
     n_pyr = int(data["_pyramid_levels"])
     template = _template_state(cfg, n_pyr)
-    treedef = jax.tree.structure(template)
-    n_leaves = treedef.num_leaves
-    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
-    state = jax.tree.unflatten(treedef, leaves)
+    version = int(data["_format_version"]) if "_format_version" in data else 1
+    if version >= 2:
+        # Key-path format: missing fields fail by NAME, and fields the
+        # template no longer has are ignored (forward compatible).
+        paths = jax.tree_util.tree_flatten_with_path(template)
+        missing = [
+            _leaf_key(p) for p, _ in paths[0] if _leaf_key(p) not in data
+        ]
+        if missing:
+            raise KeyError(
+                f"checkpoint {path} (format v{version}) is missing state "
+                f"fields {missing} — written by an older vo_tpu; re-run or "
+                f"migrate it"
+            )
+        leaves = [jnp.asarray(data[_leaf_key(p)]) for p, _ in paths[0]]
+        state = jax.tree_util.tree_unflatten(paths[1], leaves)
+    else:  # v1 fallback: positional leaves, valid only if the count matches
+        treedef = jax.tree.structure(template)
+        n_leaves = treedef.num_leaves
+        if f"leaf_{n_leaves - 1}" not in data or f"leaf_{n_leaves}" in data:
+            raise KeyError(
+                f"checkpoint {path} is v1 (positional) and its leaf count "
+                f"does not match this version's VOState — re-run from scratch"
+            )
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
+        state = jax.tree.unflatten(treedef, leaves)
     traj = data["_trajectory"] if "_trajectory" in data else None
     fids = data["_frame_ids"] if "_frame_ids" in data else None
     return state, cfg, traj, fids
