@@ -308,7 +308,10 @@ def main(argv=None):
             f"optimized in {time.time() - t0:.1f}s"
         )
         if backend.rejected and not args.quiet:
-            for r in backend.rejected[:10]:
+            for r in backend.rejected[:10] + [
+                x for x in backend.rejected[10:]
+                if x["frame"] - x["matched_frame"] > 800
+            ]:
                 print(f"[vo_tpu]   rejected loop {r['frame']} <-> "
                       f"{r['matched_frame']} sim {r['similarity']:.3f} "
                       f"inliers {r['inliers']}")

@@ -86,6 +86,57 @@ def test_loop_closure_recovers_planted_drift():
     assert float(errs[-1]) < float(errs[0])
 
 
+def test_sim3_loop_closure_recovers_planted_scale_drift():
+    """The monocular failure mode: odometry translations inflated by a
+    drifting scale factor (the LOOP_SPEC circuit measured 1.66x -> 0.94x).
+    A Sim(3) loop edge carrying the measured relative map scale must recover
+    the geometry; an SE(3)-only graph (optimize_scale=False) must NOT —
+    that contrast is exactly why the graph is Sim(3) (Strasdat RSS'10)."""
+    n = 40
+    gt = _gt_chain(n, step=1.0, yaw_per=2 * np.pi / n)  # closed circle
+    # Map scale decays smoothly from 1.4 to 0.8 along the run.
+    scale = np.linspace(1.4, 0.8, n).astype(np.float32)
+    g = empty_pose_graph(num_nodes=n + 2, num_loop_edges=4)
+    cur = jnp.asarray(gt[0])
+    g = add_node(g, cur, 0)
+    for k in range(1, n):
+        rel = (np.linalg.inv(gt[k - 1]) @ gt[k]).astype(np.float32)
+        rel_drifted = rel.copy()
+        rel_drifted[:3, 3] *= scale[k]  # odometry believes scale 1
+        cur = cur @ jnp.asarray(rel_drifted)
+        g = add_node(g, cur, k)
+    drift0 = np.linalg.norm(
+        np.asarray(g.node_pose[n - 1]).reshape(4, 4)[:3, 3] - gt[n - 1][:3, 3]
+    )
+    assert drift0 > 1.0  # the plant drifted substantially
+
+    # Loop measurement old(0) <-> new(n-1): exact relative pose, plus the
+    # relative map scale s_old/s_new = 1/scale[n-1] in the rotation block.
+    rel = (np.linalg.inv(gt[0]) @ gt[n - 1]).astype(np.float32)
+    Z = rel.copy()
+    Z[:3, :3] *= 1.0 / scale[n - 1]
+    g = add_loop_edge(g, jnp.int32(0), jnp.int32(n - 1), jnp.asarray(Z))
+
+    out, errs = pg_optimize(g, iters=20, damping=1e-5)
+    est = np.asarray(out.node_pose[:n]).reshape(n, 4, 4)
+    # Positions (similarity-corrected nodes): endpoint must come back.
+    drift_sim3 = np.linalg.norm(est[n - 1][:3, 3] - gt[n - 1][:3, 3])
+    assert drift_sim3 < 0.35 * drift0, (drift0, drift_sim3)
+    # Recovered node scale is the CORRECTION factor — the inverse of the
+    # planted map scale (the node similarity maps the inflated local frame
+    # into the true world): s_end ~ 1/scale[n-1], within 15%.
+    s_end = float(np.cbrt(np.linalg.det(est[n - 1][:3, :3])))
+    assert abs(s_end - 1.0 / scale[n - 1]) < 0.15, (s_end, 1 / scale[n - 1])
+    assert float(errs[-1]) < float(errs[0])
+
+    # Contrast: rigid mode cannot express the scale and must do worse.
+    out_rigid, _ = pg_optimize(g, iters=20, damping=1e-5,
+                               optimize_scale=False)
+    est_r = np.asarray(out_rigid.node_pose[:n]).reshape(n, 4, 4)
+    drift_se3 = np.linalg.norm(est_r[n - 1][:3, 3] - gt[n - 1][:3, 3])
+    assert drift_sim3 < drift_se3, (drift_sim3, drift_se3)
+
+
 def test_gauge_first_node_fixed():
     gt = _gt_chain(10)
     rng = np.random.default_rng(7)

@@ -75,6 +75,13 @@ class SyntheticSpec:
     seed: int = 0
     cam_height_m: float = 1.6
     dist: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0)  # k1 k2 p1 p2 k3
+    # Photometric nuisance (the reference's documented Malaga failure is
+    # lighting-correlated, Report.pdf 3.1.2 — exposure/shadow variation):
+    # "constant" (default) or "varying" = per-frame exposure gain/bias random
+    # walk + a heading-anchored lateral brightness gradient (sun-facing
+    # side of the street brighter; the gradient pans across the image as
+    # the camera turns, like real low-sun exposure).
+    lighting: str = "constant"
 
     def K(self) -> np.ndarray:
         return np.array(
@@ -608,7 +615,45 @@ def render_frames_accel(rects: Rects, tex, poses, K, width: int, height: int,
 
 
 def _spec_digest(spec: SyntheticSpec) -> str:
-    return hashlib.sha1(f"v{_FORMAT_VERSION}|{spec!r}".encode()).hexdigest()[:16]
+    # The lighting field (added round 3) must not invalidate pre-existing
+    # constant-lighting renders: strip it from the repr at its default.
+    r = repr(spec).replace(", lighting='constant'", "")
+    return hashlib.sha1(f"v{_FORMAT_VERSION}|{r}".encode()).hexdigest()[:16]
+
+
+def _lighting_curves(spec: SyntheticSpec, poses: np.ndarray):
+    """Per-frame (gain, bias, heading) for lighting="varying".
+
+    Deterministic from the spec seed: a smooth exposure random walk
+    (low-pass-filtered noise + slow sinusoids, gain ~ [0.8, 1.2], bias
+    ~ +-12 grey levels) plus the camera heading used for the sun-facing
+    lateral gradient."""
+    n = spec.num_frames
+    rng = np.random.default_rng(spec.seed + 77)
+    t = np.arange(n)
+    k = np.hanning(31)
+    k /= k.sum()
+    gain = (
+        1.0
+        + 0.14 * np.sin(2 * np.pi * t / 101.0)
+        + 0.06 * np.convolve(rng.standard_normal(n), k, mode="same")
+    )
+    bias = 9.0 * np.sin(2 * np.pi * t / 53.0 + 1.3) + 4.0 * np.convolve(
+        rng.standard_normal(n), k, mode="same"
+    )
+    # Camera forward axis in world = R[:, 2]; heading about +y.
+    yaw = np.arctan2(poses[:, 0, 2], poses[:, 2, 2])
+    return gain.astype(np.float32), bias.astype(np.float32), yaw
+
+
+def _apply_lighting(img_u8: np.ndarray, gain: float, bias: float,
+                    yaw: float, sun_azimuth: float = 0.9) -> np.ndarray:
+    """img' = gain*img + bias + lateral sun gradient, clipped to u8."""
+    w = img_u8.shape[1]
+    ramp = np.linspace(-1.0, 1.0, w, dtype=np.float32)[None, :]
+    sun = np.sin(yaw - sun_azimuth)
+    out = gain * img_u8.astype(np.float32) + bias + 12.0 * sun * ramp
+    return np.clip(np.rint(out), 0.0, 255.0).astype(np.uint8)
 
 
 def generate(out_dir: str, spec: SyntheticSpec, verbose: bool = True) -> str:
@@ -645,6 +690,9 @@ def generate(out_dir: str, spec: SyntheticSpec, verbose: bool = True) -> str:
             f"[synthetic] rendering {spec.num_frames} frames "
             f"{spec.width}x{spec.height}, {rects.count} rects -> {out_dir}"
         )
+    light = (
+        _lighting_curves(spec, poses) if spec.lighting == "varying" else None
+    )
     chunk = 16
     for lo in range(0, spec.num_frames, chunk):
         hi = min(lo + chunk, spec.num_frames)
@@ -652,7 +700,11 @@ def generate(out_dir: str, spec: SyntheticSpec, verbose: bool = True) -> str:
             rects, tex, poses[lo:hi], K, spec.width, spec.height, dist=spec.dist
         )
         for i in range(lo, hi):
-            Image.fromarray(frames[i - lo], mode="L").save(
+            frame = frames[i - lo]
+            if light is not None:
+                gain, bias, yaw = light
+                frame = _apply_lighting(frame, gain[i], bias[i], yaw[i])
+            Image.fromarray(frame, mode="L").save(
                 os.path.join(img_dir, f"img_{i:05d}.png")
             )
         if verbose and (lo // chunk) % 8 == 0:

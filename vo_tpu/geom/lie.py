@@ -137,6 +137,98 @@ def se3_log(H: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([v, w], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Sim(3): similarity transforms (sR, t) — monocular loop closure needs the
+# scale DoF (scale drift cannot be expressed in SE(3); Strasdat et al.,
+# "Scale Drift-Aware Large Scale Monocular SLAM", RSS 2010 — the technique
+# ORB-SLAM uses for mono loop closure). Twist order: (v, w, lam).
+# ---------------------------------------------------------------------------
+
+
+def _sim3_W(w: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Translation mixer of the Sim(3) exp: W = int_0^1 e^{lam*tau} R(tau*w) dtau.
+
+    Closed form via the scalar integrals (s = e^lam, theta = |w|):
+      C  = int e^{lam t}            = (s - 1)/lam
+      A' = int e^{lam t} sin(th t)  = (s(lam sin th - th cos th) + th)/(lam^2+th^2)
+      B' = int e^{lam t} cos(th t)  = (s(lam cos th + th sin th) - lam)/(lam^2+th^2)
+      W  = C I + (A'/th) [w]x + ((C - B')/th^2) [w]x^2
+    with series fallbacks where lam and/or theta vanish (at lam=0 this
+    reduces exactly to the SE(3) left Jacobian)."""
+    theta_sq = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.where(theta_sq < 1e-12, 1.0, theta_sq))
+    s = jnp.exp(lam)
+    lam_small = jnp.abs(lam) < 1e-4
+    th_small = theta_sq < 1e-8
+    lam_safe = jnp.where(lam_small, 1.0, lam)
+    denom = lam * lam + theta_sq
+
+    C = jnp.where(lam_small, 1.0 + lam / 2.0 + lam * lam / 6.0,
+                  (s - 1.0) / lam_safe)
+    # alpha = A'/theta ; beta = (C - B')/theta^2
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    denom_safe = jnp.where(th_small & lam_small, 1.0, denom)
+    Ap = (s * (lam * sin_t - theta * cos_t) + theta) / denom_safe
+    Bp = (s * (lam * cos_t + theta * sin_t) - lam) / denom_safe
+    # Small-theta series (lam general): alpha -> D, beta -> E/2 with
+    # D = int t e^{lam t} = (s(lam-1)+1)/lam^2, E = int t^2 e^{lam t}.
+    D = jnp.where(lam_small, 0.5 + lam / 3.0,
+                  (s * (lam_safe - 1.0) + 1.0) / (lam_safe * lam_safe))
+    E = jnp.where(
+        lam_small, 1.0 / 3.0 + lam / 4.0,
+        (s * (lam_safe * lam_safe - 2.0 * lam_safe + 2.0) - 2.0)
+        / (lam_safe ** 3),
+    )
+    alpha = jnp.where(th_small, D, Ap / theta)
+    beta = jnp.where(th_small, 0.5 * E, (C - Bp) / jnp.where(th_small, 1.0, theta_sq))
+
+    K = skew(w)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return (C[..., None, None] * eye + alpha[..., None, None] * K
+            + beta[..., None, None] * KK)
+
+
+def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """(..., 7) twist (v, w, lam) -> (..., 4, 4) similarity [[e^lam R, Wv],[0,1]]."""
+    v, w, lam = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    R = so3_exp(w)
+    t = (_sim3_W(w, lam) @ v[..., None])[..., 0]
+    batch = xi.shape[:-1]
+    H = jnp.zeros(batch + (4, 4), xi.dtype)
+    H = H.at[..., :3, :3].set(jnp.exp(lam)[..., None, None] * R)
+    H = H.at[..., :3, 3].set(t)
+    H = H.at[..., 3, 3].set(1.0)
+    return H
+
+
+def sim3_log(S: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) similarity -> (..., 7) twist (v, w, lam)."""
+    sR = S[..., :3, :3]
+    # det(sR) = s^3
+    det = jnp.linalg.det(sR)
+    s = jnp.cbrt(jnp.maximum(det, 1e-30))
+    lam = jnp.log(s)
+    R = sR / s[..., None, None]
+    w = so3_log(R)
+    W = _sim3_W(w, lam)
+    v = jnp.linalg.solve(W, S[..., :3, 3:4])[..., 0]
+    return jnp.concatenate([v, w, lam[..., None]], axis=-1)
+
+
+def sim3_inverse(S: jnp.ndarray) -> jnp.ndarray:
+    """[[sR, t],[0,1]]^-1 = [[s^-1 R^T, -s^-1 R^T t],[0,1]]."""
+    sR = S[..., :3, :3]
+    det = jnp.linalg.det(sR)
+    s = jnp.cbrt(jnp.maximum(det, 1e-30))
+    Rt = jnp.swapaxes(sR, -1, -2) / (s * s)[..., None, None]
+    out = jnp.zeros_like(S)
+    out = out.at[..., :3, :3].set(Rt)
+    out = out.at[..., :3, 3:4].set(-Rt @ S[..., :3, 3:4])
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
 def pose_inverse(H: jnp.ndarray) -> jnp.ndarray:
     """Fast inverse of a rigid transform: [[R,t],[0,1]]^-1 = [[R^T,-R^T t],[0,1]]."""
     R = H[..., :3, :3]

@@ -57,13 +57,14 @@ class BackendConfig:
     nodes: int = 256  # pose-graph / DB capacity
     loop_edges: int = 32
     obs_per_entry: int = 256
-    patch_radius: int = 4
+    patch_radius: int = 8  # 17x17 patches: repetitive-texture discrimination
     grid: int = 16
     min_frame_gap: int = 100  # place recognition: ignore recent frames
     min_similarity: float = 0.85
     min_inliers: int = 25
     ratio: float = 0.8
     inlier_threshold_px: float = 2.0
+    search_radius_px: float = 120.0  # verification spatial gate (same-lane)
     pg_iters: int = 12
     pg_damping: float = 1e-4
     seq_weight: float = 1.0
@@ -95,7 +96,8 @@ class PoseGraphBackend:
         self._jit_verify = jax.jit(
             verify_loop,
             static_argnames=(
-                "ratio", "inlier_threshold_px", "min_inliers", "num_hypotheses",
+                "ratio", "inlier_threshold_px", "min_inliers",
+                "num_hypotheses", "search_radius_px",
             ),
         )
         self._jit_cull_node = jax.jit(cull_node)
@@ -139,6 +141,7 @@ class PoseGraphBackend:
                 sub, self.db, cand.idx, entry, self.K,
                 ratio=c.ratio, inlier_threshold_px=c.inlier_threshold_px,
                 min_inliers=c.min_inliers,
+                search_radius_px=c.search_radius_px,
             )
             if bool(res.ok):
                 self.graph = self._jit_add_loop(

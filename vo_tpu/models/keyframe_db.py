@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from vo_tpu.geom.lie import pose_inverse
+from vo_tpu.geom.points import to_homogeneous as to_h
 from vo_tpu.ops.descriptors import extract_patches, match_descriptors
 from vo_tpu.ops.pnp import pnp_ransac
 
@@ -204,9 +205,34 @@ def query_loop(
 
 
 class LoopConstraint(NamedTuple):
-    rel: jnp.ndarray  # (4, 4) measured old_T_new
+    rel: jnp.ndarray  # (4, 4) measured old_S_new (SIMILARITY: scale = det^1/3)
     num_inliers: jnp.ndarray  # () int32
     ok: jnp.ndarray  # () bool
+
+
+def _umeyama_sim(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted Umeyama: the similarity (4, 4) mapping X -> Y
+    (y ~ s R x + t), closed form via SVD of the weighted cross-covariance.
+    Degenerate weights (sum ~ 0) return identity."""
+    wsum = jnp.maximum(w.sum(), 1e-9)
+    wn = w / wsum
+    mx = (wn[:, None] * X).sum(0)
+    my = (wn[:, None] * Y).sum(0)
+    Xc = X - mx
+    Yc = Y - my
+    C = (wn[:, None] * Yc).T @ Xc  # (3, 3)
+    U, D, Vt = jnp.linalg.svd(C)
+    sgn = jnp.sign(jnp.linalg.det(U @ Vt))
+    S = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.asarray([1.0, 1.0, sgn]))
+    R = U @ S @ Vt
+    var_x = (wn * (Xc * Xc).sum(-1)).sum()
+    s = (D * jnp.diagonal(S)).sum() / jnp.maximum(var_x, 1e-12)
+    t = my - s * (R @ mx)
+    out = jnp.eye(4, dtype=X.dtype)
+    out = out.at[:3, :3].set(s * R)
+    out = out.at[:3, 3].set(t)
+    degenerate = (w.sum() < 3.0) | ~jnp.isfinite(s) | (s < 1e-3)
+    return jnp.where(degenerate, jnp.eye(4, dtype=X.dtype), out)
 
 
 def verify_loop(
@@ -219,6 +245,7 @@ def verify_loop(
     inlier_threshold_px: float = 2.0,
     min_inliers: int = 25,
     num_hypotheses: int = 256,
+    search_radius_px: float = 120.0,
 ) -> LoopConstraint:
     """Geometric verification of a loop candidate.
 
@@ -227,13 +254,27 @@ def verify_loop(
     candidate's stored WORLD landmarks against the current PIXELS: the
     recovered T_cw lives in the old map's metric frame, so
     rel = old_pose^-1 · T_cw^-1 measures the new keyframe in the old
-    keyframe's frame, closing any drift accumulated in between."""
+    keyframe's frame, closing any drift accumulated in between.
+
+    `search_radius_px` gates matches to a pixel window between the two
+    views: a retrieved candidate only verifies when the revisit shares the
+    viewpoint (same lane/heading), in which case corresponding points land
+    near each other — without the gate, repetitive facade texture floods
+    the mutual-ratio test and true matches die (measured on the LOOP_SPEC
+    circuit: 3-6 inliers without, >>min_inliers with). Heading-reversed
+    loop closure is out of scope (documented limitation)."""
+    d2 = jnp.sum(
+        (entry.obs_xy[:, None, :] - db.obs_xy[cand_idx][None, :, :]) ** 2,
+        axis=-1,
+    )
+    near = d2 <= search_radius_px * search_radius_px
     m = match_descriptors(
         entry.obs_desc,
         db.obs_desc[cand_idx],
         valid1=entry.obs_valid,
         valid2=db.obs_valid[cand_idx],
         ratio=ratio,
+        pair_valid=near,
     )
     pair_ok = m.valid
     X = db.obs_lm[cand_idx][jnp.clip(m.idx, 0, None)]
@@ -246,9 +287,17 @@ def verify_loop(
         inlier_threshold_px=inlier_threshold_px,
         num_hypotheses=num_hypotheses,
     )
-    w_T_new = pose_inverse(res.T_cw)
+    # Sim(3) edge from the inlier 3D-3D pairs, both point sets expressed in
+    # their own keyframe's CAMERA frame (each self-consistent in its local
+    # map scale): Z maps new-cam points -> old-cam points, so its scale is
+    # the relative map scale s_old/s_new — the quantity SE(3) closure cannot
+    # express and monocular drift accumulates in (Strasdat RSS'10).
     old = db.pose[cand_idx].reshape(4, 4)
-    rel = pose_inverse(old) @ w_T_new
+    new = entry.pose.reshape(4, 4)
+    X_old_cam = (pose_inverse(old)[None] @ to_h(X)[..., None])[..., :3, 0]
+    X_new_cam = (pose_inverse(new)[None] @ to_h(entry.obs_lm)[..., None])[..., :3, 0]
+    w_in = (pair_ok & res.inliers).astype(X.dtype)
+    rel = _umeyama_sim(X_new_cam, X_old_cam, w_in)
     ok = (
         (res.num_inliers >= min_inliers)
         & jnp.isfinite(rel).all()

@@ -1,4 +1,4 @@
-"""Pose-graph back-end: long-term keyframe chain + batched SE(3) graph GN.
+"""Pose-graph back-end: long-term keyframe chain + batched Sim(3) graph GN.
 
 The reference keeps exactly a two-frame window (state.py:9-13) and its report
 names a global back-end as future work (Report.pdf 3.1.1: "bundle adjustment
@@ -14,19 +14,24 @@ scratch:
     (no dynamic shapes, jit-safe).
   * **fixed-capacity loop-edge store** — place-recognition constraints
     between arbitrary node pairs (i < j), appended masked.
-  * **batched Gauss-Newton over SE(3)** — every constraint contributes a
-    6-vector residual r = log(z^-1 T_a^-1 T_b) with analytic right-
-    perturbation Jacobians (first-order inverse right Jacobian,
-    J ~ I + 0.5 ad(r)); the dense (6N, 6N) normal system is assembled with
-    scatter-adds and solved in one shot — at N <= 256 nodes the dense solve
-    is tiny for the MXU and avoids all sparse bookkeeping.
+  * **batched Gauss-Newton over Sim(3)** — monocular VO drifts in SCALE
+    (measured 1.66x -> 0.94x around the 350 m LOOP_SPEC circuit), which
+    SE(3) closure cannot express: it bends the path instead (measured: ATE
+    8.6 -> 11.1 m, RPE-rot 0.08 -> 3.5 deg). The graph therefore optimizes
+    similarities (Strasdat et al., RSS 2010 — the scale-drift-aware
+    formulation ORB-SLAM uses for mono). Nodes and constraints are 4x4
+    similarity matrices (scale lives in det of the upper-left block); every
+    constraint contributes a 7-vector residual r = log_sim3(Z^-1 Sa^-1 Sb)
+    with analytic right-perturbation Jacobians (first-order inverse right
+    Jacobian, J ~ I + 0.5 ad(r)); the dense (7N, 7N) normal system is
+    assembled with scatter-adds and solved in one shot — at N <= 256 nodes
+    the dense solve is tiny for the MXU and avoids all sparse bookkeeping.
   * fixed iteration count, Levenberg damping, gauge frozen at the oldest
-    valid node: no data-dependent control flow anywhere.
+    valid node (all 7 DoF): no data-dependent control flow anywhere.
 
-Monocular caveat: constraints are SE(3), not Sim(3); scale drift between a
-loop's two ends is absorbed as translation error spread over the chain. The
-sliding-window BA's gauge/scale fixing (models/ba.py `fix_scale`) keeps that
-drift small enough for SE(3) closure to pay off; see EVAL.md.
+SE(3)-only behavior is available with `pg_optimize(..., optimize_scale=
+False)` — every node's scale DoF is pinned, recovering the classic rigid
+pose graph.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vo_tpu.geom.lie import pose_inverse, se3_exp, se3_log
+from vo_tpu.geom.lie import sim3_exp, sim3_inverse, sim3_log
 from vo_tpu.geom.points import skew
 
 _GAUGE = 1e8  # diagonal added to the gauge node / dead nodes
@@ -49,9 +54,14 @@ class PoseGraph(NamedTuple):
     Nodes live at indices [0, n_nodes); append order is chain order.
     `rel_prev[k]` is the measured pose of node k in node k-1's frame
     (T_{k-1}^-1 T_k at insertion time); row 0 is unused (identity).
-    """
 
-    node_pose: jnp.ndarray  # (N, 16) w_T_c per keyframe (current estimate)
+    All 16-float rows are 4x4 SIMILARITY matrices: odometry constraints and
+    freshly-added nodes are rigid (scale 1), loop constraints carry the
+    measured relative map scale, and optimized node poses carry the
+    recovered per-node scale correction (extract the rigid pose with
+    `node_se3`)."""
+
+    node_pose: jnp.ndarray  # (N, 16) w_S_c per keyframe (current estimate)
     node_frame: jnp.ndarray  # (N,) int32 frame index of the keyframe
     node_valid: jnp.ndarray  # (N,) bool
     rel_prev: jnp.ndarray  # (N, 16) chain constraint k-1 -> k
@@ -85,6 +95,13 @@ def empty_pose_graph(
     )
 
 
+def node_se3(graph: PoseGraph) -> jnp.ndarray:
+    """(N, 4, 4) rigid poses: node similarities with the scale stripped."""
+    S = graph.node_pose.reshape(-1, 4, 4)
+    s = jnp.cbrt(jnp.maximum(jnp.linalg.det(S[:, :3, :3]), 1e-30))
+    return S.at[:, :3, :3].divide(s[:, None, None])
+
+
 def add_node(graph: PoseGraph, pose: jnp.ndarray, frame: jnp.ndarray) -> PoseGraph:
     """Append a keyframe (masked no-op when full — cull first).
 
@@ -94,7 +111,7 @@ def add_node(graph: PoseGraph, pose: jnp.ndarray, frame: jnp.ndarray) -> PoseGra
     k = graph.n_nodes
     ok = k < graph.capacity
     prev = graph.node_pose[jnp.maximum(k - 1, 0)].reshape(4, 4)
-    rel = pose_inverse(prev) @ pose
+    rel = sim3_inverse(prev) @ pose
     rel = jnp.where(k > 0, rel, jnp.eye(4, dtype=pose.dtype))
     idx = jnp.where(ok, k, 0)  # masked write target
 
@@ -189,52 +206,68 @@ def cull_node(graph: PoseGraph, victim: jnp.ndarray) -> PoseGraph:
     )
 
 
-def _ad_se3(xi: jnp.ndarray) -> jnp.ndarray:
-    """se(3) adjoint ad(xi) for twist order (v, w): [[w^, v^], [0, w^]]."""
-    v, w = xi[..., :3], xi[..., 3:]
+def _ad_sim3(xi: jnp.ndarray) -> jnp.ndarray:
+    """sim(3) adjoint ad(xi) for twist order (v, w, lam):
+    [[w^ + lam*I, v^, -v], [0, w^, 0], [0, 0, 0]] — from the bracket
+    [(v1,w1,l1),(v2,w2,l2)] = (w1xv2 - w2xv1 + l1 v2 - l2 v1, w1xw2, 0)."""
+    v, w, lam = xi[..., :3], xi[..., 3:6], xi[..., 6]
     wh, vh = skew(w), skew(v)
-    top = jnp.concatenate([wh, vh], axis=-1)
-    bot = jnp.concatenate([jnp.zeros_like(wh), wh], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), wh.shape)
+    z3 = jnp.zeros_like(wh)
+    top = jnp.concatenate(
+        [wh + lam[..., None, None] * eye3, vh, -v[..., None]], axis=-1
+    )
+    mid = jnp.concatenate([z3, wh, jnp.zeros_like(v[..., None])], axis=-1)
+    bot = jnp.zeros_like(top[..., :1, :])
+    return jnp.concatenate([top, mid, bot], axis=-2)
 
 
-def _Ad_se3(T: jnp.ndarray) -> jnp.ndarray:
-    """SE(3) adjoint Ad(T) for twist order (v, w): [[R, t^R], [0, R]]."""
-    R = T[..., :3, :3]
-    t = T[..., :3, 3]
-    tR = skew(t) @ R
-    top = jnp.concatenate([R, tR], axis=-1)
-    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+def _Ad_sim3(S: jnp.ndarray) -> jnp.ndarray:
+    """Sim(3) adjoint Ad(S) for twist order (v, w, lam), S = [[sR, t],[0,1]]:
+    [[sR, t^R, -t], [0, R, 0], [0, 0, 1]]."""
+    sR = S[..., :3, :3]
+    s = jnp.cbrt(jnp.maximum(jnp.linalg.det(sR), 1e-30))
+    R = sR / s[..., None, None]
+    t = S[..., :3, 3]
+    top = jnp.concatenate([sR, skew(t) @ R, -t[..., None]], axis=-1)
+    mid = jnp.concatenate(
+        [jnp.zeros_like(R), R, jnp.zeros_like(t[..., None])], axis=-1
+    )
+    bot = jnp.concatenate(
+        [jnp.zeros_like(t), jnp.zeros_like(t), jnp.ones_like(s)[..., None]],
+        axis=-1,
+    )[..., None, :]
+    return jnp.concatenate([top, mid, bot], axis=-2)
 
 
-def _edge_terms(Ta, Tb, z):
+def _edge_terms(Sa, Sb, z):
     """Residual + right-perturbation Jacobians for one constraint
-    r = log(z^-1 Ta^-1 Tb); Ta <- Ta exp(xi_a), Tb <- Tb exp(xi_b).
+    r = log(z^-1 Sa^-1 Sb); Sa <- Sa exp(xi_a), Sb <- Sb exp(xi_b).
 
       dr/dxi_b =  Jr^-1(r)            ~ I + 0.5 ad(r)
       dr/dxi_a = -Jl^-1(r) Ad(z^-1)   ~ -(I - 0.5 ad(r)) Ad(z^-1)
     """
-    zinv = pose_inverse(z)
-    r = se3_log(zinv @ pose_inverse(Ta) @ Tb)
-    eye = jnp.eye(6, dtype=r.dtype)
-    adr = _ad_se3(r)
+    zinv = sim3_inverse(z)
+    r = sim3_log(zinv @ sim3_inverse(Sa) @ Sb)
+    eye = jnp.eye(7, dtype=r.dtype)
+    adr = _ad_sim3(r)
     Jb = eye + 0.5 * adr
-    Ja = -(eye - 0.5 * adr) @ _Ad_se3(zinv)
+    Ja = -(eye - 0.5 * adr) @ _Ad_sim3(zinv)
     return r, Ja, Jb
 
 
 def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
-                        damping):
-    """One GN step over all constraints. poses: (N, 4, 4)."""
-    Ta = poses[a_idx]
-    Tb = poses[b_idx]
-    r, Ja, Jb = jax.vmap(_edge_terms)(Ta, Tb, z)
+                        damping, scale_gauge):
+    """One GN step over all constraints. poses: (N, 4, 4) similarities.
+    `scale_gauge` (N,) adds _GAUGE to a node's lam DoF (1 = scale pinned)."""
+    Sa = poses[a_idx]
+    Sb = poses[b_idx]
+    r, Ja, Jb = jax.vmap(_edge_terms)(Sa, Sb, z)
     wm = (w * valid)[:, None, None]
 
-    N6 = 6 * n_cap
-    H = jnp.zeros((n_cap, n_cap, 6, 6), r.dtype)
-    g = jnp.zeros((n_cap, 6), r.dtype)
+    N7 = 7 * n_cap
+    H = jnp.zeros((n_cap, n_cap, 7, 7), r.dtype)
+    g = jnp.zeros((n_cap, 7), r.dtype)
     JaW = Ja * wm
     JbW = Jb * wm
     H = H.at[a_idx, a_idx].add(jnp.einsum("eia,eib->eab", JaW, Ja))
@@ -245,32 +278,37 @@ def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
     g = g.at[b_idx].add(jnp.einsum("eia,ei->ea", JbW, r))
 
     diag = jnp.arange(n_cap)
-    H = H.at[diag, diag].add(damping * jnp.eye(6)[None])
-    H = H.at[gauge_idx, gauge_idx].add(_GAUGE * jnp.eye(6))
+    H = H.at[diag, diag].add(damping * jnp.eye(7)[None])
+    H = H.at[gauge_idx, gauge_idx].add(_GAUGE * jnp.eye(7))
+    # Optional rigid mode: pin every node's scale DoF.
+    lam_pin = jnp.zeros((7, 7)).at[6, 6].set(_GAUGE)
+    H = H.at[diag, diag].add(scale_gauge[:, None, None] * lam_pin[None])
     # Unconstrained rows (invalid nodes): pin so the dense solve is well-posed.
     row_deg = jnp.zeros((n_cap,), r.dtype).at[a_idx].add(valid).at[b_idx].add(valid)
     H = H.at[diag, diag].add(
-        (row_deg < 0.5)[:, None, None] * _GAUGE * jnp.eye(6)[None]
+        (row_deg < 0.5)[:, None, None] * _GAUGE * jnp.eye(7)[None]
     )
 
-    Hd = H.transpose(0, 2, 1, 3).reshape(N6, N6)
-    delta = jnp.linalg.solve(Hd, -g.reshape(N6)).reshape(n_cap, 6)
+    Hd = H.transpose(0, 2, 1, 3).reshape(N7, N7)
+    delta = jnp.linalg.solve(Hd, -g.reshape(N7)).reshape(n_cap, 7)
     err = jnp.sum((r * r).sum(-1) * w * valid) / jnp.maximum(valid.sum(), 1)
     return delta, err
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "optimize_scale"))
 def pg_optimize(
     graph: PoseGraph,
     iters: int = 10,
     damping: float = 1e-4,
+    optimize_scale: bool = True,
 ) -> tuple[PoseGraph, jnp.ndarray]:
     """Batched GN over the whole graph. Returns (optimized graph, (iters,)
     mean squared residual trace — errs[i] is BEFORE step i).
 
-    The gauge is the oldest valid node; the optimized graph is accepted only
-    if the final error did not increase (diverged solves never corrupt the
-    trajectory)."""
+    The gauge is the oldest valid node (all 7 DoF); with
+    `optimize_scale=False` every node's scale is pinned (rigid SE(3) mode).
+    The optimized graph is accepted only if the final error did not increase
+    (diverged solves never corrupt the trajectory)."""
     N = graph.capacity
     idx = jnp.arange(N)
     # Chain constraints: (k-1, k) for valid k >= 1.
@@ -292,13 +330,17 @@ def pg_optimize(
     )
     valid = jnp.concatenate([seq_valid, lv]).astype(z.dtype)
     gauge_idx = jnp.argmax(graph.node_valid)
+    scale_gauge = (
+        jnp.zeros((N,)) if optimize_scale else jnp.ones((N,))
+    )
 
     def body(poses, _):
         delta, err = _assemble_and_solve(
-            poses, a_idx, b_idx, z, w, valid, N, gauge_idx, damping
+            poses, a_idx, b_idx, z, w, valid, N, gauge_idx, damping,
+            scale_gauge,
         )
         delta = jnp.where(graph.node_valid[:, None], delta, 0.0)
-        poses = jax.vmap(lambda T, d: T @ se3_exp(d))(poses, delta)
+        poses = jax.vmap(lambda S, d: S @ sim3_exp(d))(poses, delta)
         return poses, err
 
     poses0 = graph.node_pose.reshape(-1, 4, 4)
@@ -321,10 +363,12 @@ def correct_trajectory(
     new_node_pose: jnp.ndarray,  # (N, 16) node poses AFTER optimization
     node_valid: jnp.ndarray,  # (N,) bool
 ) -> jnp.ndarray:
-    """Re-anchor every frame to its latest preceding keyframe:
-    T_f' = T_kf_new @ (T_kf_old^-1 @ T_f). Frames before the first keyframe
-    are left untouched. Jit-safe (searchsorted over the padded node table).
-    """
+    """Re-anchor every frame to its latest preceding keyframe with the
+    node's SIMILARITY correction: T_f' = S_kf_new @ S_kf_old^-1 @ T_f, then
+    the scale is stripped from the rotation block (poses stay SE(3); the
+    scale correction rescales each frame's position about its keyframe —
+    exactly how Sim(3) loop closure repairs monocular scale drift). Frames
+    before the first keyframe are left untouched. Jit-safe."""
     big = jnp.int32(2**30)
     nf = jnp.where(node_valid, node_frame, big)
     order = jnp.argsort(nf)
@@ -334,7 +378,10 @@ def correct_trajectory(
     has_kf = pos >= 0
     pos = jnp.clip(pos, 0, jnp.maximum(n_valid - 1, 0))
     src = order[pos]
-    T_old = old_node_pose[src].reshape(-1, 4, 4)
-    T_new = new_node_pose[src].reshape(-1, 4, 4)
-    corrected = T_new @ pose_inverse(T_old) @ traj
+    S_old = old_node_pose[src].reshape(-1, 4, 4)
+    S_new = new_node_pose[src].reshape(-1, 4, 4)
+    corrected = S_new @ sim3_inverse(S_old) @ traj
+    # De-scale the rotation block: det(sR R_f) = s^3.
+    s = jnp.cbrt(jnp.maximum(jnp.linalg.det(corrected[:, :3, :3]), 1e-30))
+    corrected = corrected.at[:, :3, :3].divide(s[:, None, None])
     return jnp.where(has_kf[:, None, None], corrected, traj)

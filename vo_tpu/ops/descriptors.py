@@ -59,6 +59,7 @@ def match_descriptors(
     ratio: float = 0.85,
     max_dist: float = jnp.inf,
     mutual: bool = True,
+    pair_valid: jnp.ndarray | None = None,
 ) -> MatchResult:
     """Brute-force SSD matching with Lowe ratio test and uniqueness.
 
@@ -80,6 +81,13 @@ def match_descriptors(
         dist = jnp.where(valid1[:, None], dist, jnp.inf)
     if valid2 is not None:
         dist = jnp.where(valid2[None, :], dist, jnp.inf)
+    if pair_valid is not None:
+        # Caller-provided (K1, K2) candidate gate — e.g. a spatial window
+        # when the two views are known to share a viewpoint (loop-closure
+        # verification on same-heading revisits, models/keyframe_db.py).
+        # Pruning BEFORE the ratio test matters: repetitive texture fills
+        # the top-2 with lookalikes and the ratio kills true matches.
+        dist = jnp.where(pair_valid, dist, jnp.inf)
 
     neg_top2, top2_idx = lax.top_k(-dist, 2)  # (K1, 2)
     best = -neg_top2[:, 0]
