@@ -57,8 +57,9 @@ def main() -> int:
             img, patch_size=7, kappa=0.08)
         kp = select_keypoints(resp, num_keypoints=512, nms_radius=8, border=16)
         # The fused map's top-K (with the same border mask) must equal the
-        # oracle keypoints bit-for-bit (same tie-break).
-        fm = np.asarray(fused)
+        # oracle keypoints bit-for-bit (same tie-break). np.array (copy):
+        # np.asarray of a device array is a read-only view.
+        fm = np.array(fused)
         fm[:16, :] = -np.inf
         fm[-16:, :] = -np.inf
         fm[:, :16] = -np.inf

@@ -61,7 +61,12 @@ class BackendConfig:
     grid: int = 16
     min_frame_gap: int = 100  # place recognition: ignore recent frames
     min_similarity: float = 0.85
-    min_inliers: int = 25
+    # Verification gate. Measured separation on the LOOP_SPEC circuit:
+    # genuine revisits score 11-38 P3P inliers, the best FALSE candidate
+    # (self-similar straight-road views, correctly rejected by geometry)
+    # scores 10 — 18 keeps a margin while accepting the drifted revisits
+    # that 25 turned away (they carry most of the tail anchoring).
+    min_inliers: int = 18
     ratio: float = 0.8
     inlier_threshold_px: float = 2.0
     search_radius_px: float = 120.0  # verification spatial gate (same-lane)

@@ -348,13 +348,18 @@ def corner_response_nms_auto(
 # writes the exact patch — ~2.7x faster than the XLA gather, bit-identical.
 
 
-def _gather_kernel(corners_ref, img_ref, out_ref, scratch, sems, *, size, rh, rw):
+def _gather_kernel(cx_ref, cy_ref, img_ref, out_ref, scratch, sems, *, size,
+                   rh, rw):
+    # Corners arrive as two flat (K,) scalar-prefetch arrays, NOT one (K, 2):
+    # SMEM pads the trailing dim to 128 lanes, so (K, 2) int32 occupies 64x
+    # its size and a batched stack blows the 1 MiB SMEM budget (found by the
+    # on-device parity run, tools/check_pallas_tpu.py).
     g = pl.program_id(0)
 
     def get_dma(k):
         i = g * _GATHER_BLK + k
-        y0 = (corners_ref[i, 1] // 8) * 8
-        x0 = (corners_ref[i, 0] // 128) * 128
+        y0 = (cy_ref[i] // 8) * 8
+        x0 = (cx_ref[i] // 128) * 128
         return pltpu.make_async_copy(
             img_ref.at[pl.ds(y0, rh), pl.ds(x0, rw)],
             scratch.at[k % _GATHER_NSEM],
@@ -366,8 +371,8 @@ def _gather_kernel(corners_ref, img_ref, out_ref, scratch, sems, *, size, rh, rw
     for k in range(_GATHER_BLK):
         i = g * _GATHER_BLK + k
         get_dma(k).wait()
-        dy = corners_ref[i, 1] % 8
-        dx = corners_ref[i, 0] % 128
+        dy = cy_ref[i] % 8
+        dx = cx_ref[i] % 128
         region = scratch[k % _GATHER_NSEM]
         # Positive-shift cyclic rolls == shifting the patch corner to (0, 0);
         # wrapped wrap-around rows/cols land beyond `size` (rh >= size + 7,
@@ -399,11 +404,11 @@ def extract_patches_aligned(
             [corners, jnp.zeros((kp - k, 2), corners.dtype)], axis=0
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(kp // _GATHER_BLK,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (_GATHER_BLK, size, size), lambda g, c: (g, 0, 0),
+            (_GATHER_BLK, size, size), lambda g, cx, cy: (g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -412,27 +417,29 @@ def extract_patches_aligned(
         ],
     )
     kern = functools.partial(_gather_kernel, size=size, rh=rh, rw=rw)
+    c32 = corners.astype(jnp.int32)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kp, size, size), jnp.float32),
         interpret=interpret,
-    )(corners.astype(jnp.int32), img.astype(jnp.float32))
+    )(c32[:, 0], c32[:, 1], img.astype(jnp.float32))
     return out[:k]
 
 
 def _gather_kernel_batched(
-    corners_ref, img_ref, out_ref, scratch, sems, *, size, rh, rw
+    cx_ref, cy_ref, img_ref, out_ref, scratch, sems, *, size, rh, rw
 ):
     """`_gather_kernel` with a leading batch grid dimension: image b of the
-    stack, keypoint block g."""
+    stack, keypoint block g. Corners as two (B, K) arrays — see the SMEM
+    padding note in `_gather_kernel`."""
     b = pl.program_id(0)
     g = pl.program_id(1)
 
     def get_dma(k):
         i = g * _GATHER_BLK + k
-        y0 = (corners_ref[b, i, 1] // 8) * 8
-        x0 = (corners_ref[b, i, 0] // 128) * 128
+        y0 = (cy_ref[b, i] // 8) * 8
+        x0 = (cx_ref[b, i] // 128) * 128
         return pltpu.make_async_copy(
             img_ref.at[b, pl.ds(y0, rh), pl.ds(x0, rw)],
             scratch.at[k % _GATHER_NSEM],
@@ -444,8 +451,8 @@ def _gather_kernel_batched(
     for k in range(_GATHER_BLK):
         i = g * _GATHER_BLK + k
         get_dma(k).wait()
-        dy = corners_ref[b, i, 1] % 8
-        dx = corners_ref[b, i, 0] % 128
+        dy = cy_ref[b, i] % 8
+        dx = cx_ref[b, i] % 128
         region = scratch[k % _GATHER_NSEM]
         rolled = pltpu.roll(pltpu.roll(region, rh - dy, 0), rw - dx, 1)
         out_ref[0, k] = rolled[:size, :size]
@@ -468,11 +475,11 @@ def extract_patches_aligned_batched(
             [corners, jnp.zeros((bsz, kp - k, 2), corners.dtype)], axis=1
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(bsz, kp // _GATHER_BLK),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, _GATHER_BLK, size, size), lambda b, g, c: (b, g, 0, 0),
+            (1, _GATHER_BLK, size, size), lambda b, g, cx, cy: (b, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -481,12 +488,13 @@ def extract_patches_aligned_batched(
         ],
     )
     kern = functools.partial(_gather_kernel_batched, size=size, rh=rh, rw=rw)
+    c32 = corners.astype(jnp.int32)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, kp, size, size), jnp.float32),
         interpret=interpret,
-    )(corners.astype(jnp.int32), imgs.astype(jnp.float32))
+    )(c32[..., 0], c32[..., 1], imgs.astype(jnp.float32))
     return out[:, :k]
 
 
