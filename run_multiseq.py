@@ -65,6 +65,11 @@ def parse_args(argv=None):
     p.add_argument("--full-frames", type=int, default=600,
                    help="frames per lane for --full")
     p.add_argument("--full-root", default="./data/multiseq")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="route detection/LK through the XLA op chain "
+                        "instead of the Pallas kernels (fault isolation)")
+    p.add_argument("--full-lanes", type=int, default=0,
+                   help="limit --full to the first N lanes (0 = all)")
     return p.parse_args(argv)
 
 
@@ -126,14 +131,21 @@ def run_full(args):
     from vo_tpu.data.synthetic import generate
     from vo_tpu.models.pipeline import bootstrap, vo_rollout
     from vo_tpu.parallel.multiseq import batched_vo_rollout
-    from vo_tpu.utils.config import VOConfig
+    from vo_tpu.utils.config import DetectorConfig, KLTConfig, VOConfig
 
     specs = _full_specs(args.full_frames)
     # The stop-and-go lane runs the adaptive keyframe policy's home turf;
     # the batched program is config-static, so all lanes share the default
     # (fixed-cadence) config — EVAL.md documents the per-policy split.
     cfg = VOConfig(capacity=args.capacity)
+    if args.no_pallas:
+        cfg = dataclasses.replace(
+            cfg, detector=DetectorConfig(use_pallas=False),
+            klt=KLTConfig(use_pallas=False),
+        )
     names = list(specs)
+    if args.full_lanes:
+        names = names[: args.full_lanes]
     stacks, states, gts = [], [], []
     for i, name in enumerate(names):
         root = os.path.join(args.full_root, name)
@@ -151,23 +163,38 @@ def run_full(args):
         gts.append(seq.gt_poses)
     B = len(names)
     n_steps = min(s.shape[0] for s in stacks)
-    images = jnp.asarray(
-        np.stack([s[:n_steps] for s in stacks], axis=1)
-    )  # (N, B, H, W)
+    images_np = np.stack([s[:n_steps] for s in stacks], axis=1)  # (N,B,H,W)
     batched = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *states
     )
     Ks = jnp.broadcast_to(jnp.asarray(seq.K), (B, 3, 3))
 
-    _, w_outs = batched_vo_rollout(batched, images, Ks, cfg)  # compile+warm
-    jax.block_until_ready(w_outs.pose)
+    # Chunked launches (the run_vo --chunk deployment shape): one
+    # uninterrupted 597-step x 6-lane scan is a multi-minute device launch,
+    # which the tunnel reliably kills on the second run; 64-step chunks
+    # keep launches short and the state carries across chunks regardless.
+    CHUNK = 64
+    n_chunks = (n_steps + CHUNK - 1) // CHUNK
+    pad = n_chunks * CHUNK - n_steps
+    if pad:
+        images_np = np.concatenate(
+            [images_np, np.repeat(images_np[-1:], pad, axis=0)], axis=0
+        )
+
+    def run_chunks(st):
+        outs_pose = []
+        for c in range(n_chunks):
+            block = jnp.asarray(images_np[c * CHUNK:(c + 1) * CHUNK])
+            st, outs = batched_vo_rollout(st, block, Ks, cfg)
+            outs_pose.append(np.asarray(outs.pose))
+        return st, np.concatenate(outs_pose)[:n_steps]
+
+    run_chunks(batched)  # compile + warmup
     t0 = time.perf_counter()
-    _, outs = batched_vo_rollout(batched, images, Ks, cfg)
-    jax.block_until_ready(outs.pose)
+    _, poses = run_chunks(batched)  # (N, B, 4, 4)
     dt = time.perf_counter() - t0
 
     lanes = []
-    poses = np.asarray(outs.pose)  # (N, B, 4, 4)
     for b, name in enumerate(names):
         est = np.concatenate([
             np.stack([np.eye(4, dtype=np.float32), np.asarray(states[b].pose)]),
