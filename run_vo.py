@@ -168,15 +168,26 @@ def main(argv=None):
     next_pg = start_frame
     if args.pose_graph:
         from vo_tpu.models.backend import BackendConfig, PoseGraphBackend
+        from vo_tpu.utils.checkpoint import load_backend
 
-        backend = PoseGraphBackend(
-            K,
-            BackendConfig(
-                nodes=args.pg_nodes,
-                min_frame_gap=args.pg_min_frame_gap,
-                min_similarity=args.pg_min_similarity,
-            ),
-        )
+        if args.resume:
+            backend = load_backend(args.resume)
+            if backend is not None:
+                last_kf = int(np.max(np.asarray(backend.graph.node_frame)))
+                next_pg = max(start_frame, last_kf + args.pg_every)
+                print(
+                    f"[vo_tpu] pose-graph back-end resumed: "
+                    f"{backend.n_nodes} nodes, {backend.n_loops} loop(s)"
+                )
+        if backend is None:
+            backend = PoseGraphBackend(
+                K,
+                BackendConfig(
+                    nodes=args.pg_nodes,
+                    min_frame_gap=args.pg_min_frame_gap,
+                    min_similarity=args.pg_min_similarity,
+                ),
+            )
 
     def maybe_pose_graph(i, img_np):
         """Register frame i as a pose-graph keyframe if its cadence is due
@@ -209,7 +220,8 @@ def main(argv=None):
     def maybe_checkpoint(i):
         if args.checkpoint and (i - first_i + 1) % args.checkpoint_every < chunk:
             save_checkpoint(args.checkpoint, state, cfg,
-                            trajectory=poses, frame_ids=frame_ids)
+                            trajectory=poses, frame_ids=frame_ids,
+                            backend=backend)
             if not args.quiet:
                 print(f"[vo_tpu] checkpoint @ frame {i} -> {args.checkpoint}")
 
@@ -242,8 +254,8 @@ def main(argv=None):
                 one = jax.tree_util.tree_map(lambda x: x[k], outs_np)
                 record(i + k, one, dt / chunk)
                 fps_meter.tick()
-            maybe_checkpoint(i + n - 1)
             maybe_pose_graph(i + n - 1, raw[n - 1])
+            maybe_checkpoint(i + n - 1)  # after pose graph: ckpt includes it
             i += n
     else:
         for i in range(start_frame, n_frames):
@@ -257,8 +269,8 @@ def main(argv=None):
             if i == first_i:
                 compile_time = dt
             record(i, out, dt)
-            maybe_checkpoint(i)
             maybe_pose_graph(i, np.asarray(raw))
+            maybe_checkpoint(i)
             fps_meter.tick()
             if args.debug_validate:
                 from vo_tpu.models.feature_table import debug_validate

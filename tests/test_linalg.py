@@ -51,7 +51,9 @@ def test_spd_solve_small(n):
     A = _spd(rng, n, batch=(8,))
     b = rng.normal(size=(8, n)).astype(np.float32)
     x = np.asarray(spd_solve_small(jnp.asarray(A), jnp.asarray(b), n))
-    x_np = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+    # NumPy 2.x solve treats a 2-D b as a matrix stack; add/strip a trailing
+    # column axis so the oracle solves stacked vectors.
+    x_np = np.linalg.solve(A.astype(np.float64), b.astype(np.float64)[..., None])[..., 0]
     np.testing.assert_allclose(x, x_np, rtol=3e-3, atol=3e-3)
 
 

@@ -72,8 +72,12 @@ def main():
     for name, cfg in variants:
         try:
             fps, ms = run(cfg, imgs, K)
+        except KeyboardInterrupt:
+            raise
         except Exception as e:  # config knob absent etc.
-            print(f"{name:22s} FAILED: {e}")
+            import traceback
+            print(f"{name:22s} FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc()
             continue
         delta = "" if base_ms is None else f"  delta {base_ms - ms:+6.2f} ms"
         if base_ms is None:

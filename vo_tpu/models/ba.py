@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vo_tpu.geom.lie import pose_inverse, se3_exp
+from vo_tpu.ops.linalg import spd_solve_blocked
 
 # Gauge fixing: diagonal added to the first keyframe's camera block.
 _GAUGE = 1e8
@@ -232,8 +233,10 @@ def _gn_step(window: BAWindow, K: jnp.ndarray, damping: float, huber_px: float,
         dead[:, None, None] * _GAUGE * jnp.eye(6)[None]
     )
 
-    S2 = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
-    delta_c = jnp.linalg.solve(S2, -b_red.reshape(6 * W)).reshape(W, 6)
+    # Unrolled block-Cholesky (ops/linalg.py): the reduced camera system is
+    # SPD by construction (J^T J + damping + gauge), so the LU pivot loop
+    # XLA lowers jnp.linalg.solve to (~0.3 ms at 36x36 on v5e) buys nothing.
+    delta_c = spd_solve_blocked(S, -b_red)
     # Back-substitute landmarks: V dx = -bx - Wc^T dc
     rhs = -bx - jnp.einsum("lwab,wa->lb", Wc, delta_c)
     delta_x = jnp.einsum("lab,lb->la", Vinv, rhs)

@@ -290,7 +290,15 @@ def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
     )
 
     Hd = H.transpose(0, 2, 1, 3).reshape(N7, N7)
-    delta = jnp.linalg.solve(Hd, -g.reshape(N7)).reshape(n_cap, 7)
+    # The system is SPD (J^T W J + damping + gauge pins), so solve via XLA's
+    # blocked Cholesky + triangular solves instead of pivoted LU — the same
+    # fix ops/linalg.py applies to the tiny static systems, at a size where
+    # the dense unrolled form would blow up trace time (N7 up to 7*256).
+    L = jnp.linalg.cholesky(Hd)
+    y = jax.scipy.linalg.solve_triangular(L, -g.reshape(N7), lower=True)
+    delta = jax.scipy.linalg.solve_triangular(
+        L, y, lower=True, trans=1
+    ).reshape(n_cap, 7)
     err = jnp.sum((r * r).sum(-1) * w * valid) / jnp.maximum(valid.sum(), 1)
     return delta, err
 
@@ -350,7 +358,8 @@ def pg_optimize(
         r, _, _ = jax.vmap(_edge_terms)(poses[a_idx], poses[b_idx], z)
         return jnp.sum((r * r).sum(-1) * w * valid) / jnp.maximum(valid.sum(), 1)
 
-    accept = jnp.isfinite(final_err(poses1)) & (final_err(poses1) <= errs[0] * 1.02)
+    err1 = final_err(poses1)
+    accept = jnp.isfinite(err1) & (err1 <= errs[0] * 1.02)
     poses = jnp.where(accept, poses1.reshape(-1, 16), graph.node_pose)
     return graph._replace(node_pose=poses), errs
 

@@ -13,7 +13,12 @@ nothing. This module provides:
     code, no control flow, ~1000x cheaper than the LU path at n=6;
   * `spd_solve_blocked` — block-Cholesky over an already-blocked (W, W, B, B)
     SPD system: W unrolled block steps whose inner ops are small matmuls.
-    For the BA window (W=6, B=6) this replaces the 36x36 LU solve.
+
+Wired into production (round 4): `spd_solve_blocked` solves the reduced
+camera system in models/ba.py (replacing the 36x36 LU), `spd_solve_small`
+solves the 6x6 GN steps in ops/pnp.py refine_pose_gn and
+parallel/dist_gn.py; the (7N,7N) pose-graph system (too large to unroll)
+uses XLA's blocked Cholesky instead (models/pose_graph.py).
 
 The reference has no analog (scipy/OpenCV solve on CPU hides all of this);
 the design is TPU-first per SURVEY.md §7 "fixed-iteration GN ... jitted".

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from vo_tpu.geom.lie import se3_exp
 from vo_tpu.geom.points import skew, to_homogeneous
+from vo_tpu.ops.linalg import spd_solve_small
 from vo_tpu.ops.ransac import RansacResult, num_iterations, ransac
 
 
@@ -411,7 +412,9 @@ def refine_pose_gn(
         Jw = J * w[..., None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J) + damping * jnp.eye(6, dtype=T.dtype)
         g = jnp.einsum("nij,ni->j", Jw, r)
-        delta = jnp.linalg.solve(H, -g)
+        # H is SPD (J^T W J + damping); unrolled Cholesky beats the LU
+        # lowering of jnp.linalg.solve by ~1000x at n=6 (ops/linalg.py).
+        delta = spd_solve_small(H, -g, 6)
         ok = jnp.isfinite(delta).all()
         delta = jnp.where(ok, delta, jnp.zeros_like(delta))
         return se3_exp(delta) @ T, None

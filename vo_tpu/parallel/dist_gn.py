@@ -20,6 +20,7 @@ from jax import shard_map
 
 from vo_tpu.geom.lie import se3_exp
 from vo_tpu.geom.points import skew
+from vo_tpu.ops.linalg import spd_solve_small
 
 
 def _normal_equations(T, X_w, uv, w, K):
@@ -77,7 +78,7 @@ def distributed_refine_pose(
             H_loc, g_loc = _normal_equations(T, X_shard, uv_shard, w_shard, K_)
             H = jax.lax.psum(H_loc, "model") + damping * jnp.eye(6, dtype=T.dtype)
             g = jax.lax.psum(g_loc, "model")
-            delta = jnp.linalg.solve(H, -g)
+            delta = spd_solve_small(H, -g, 6)  # SPD: unrolled Cholesky
             delta = jnp.where(jnp.isfinite(delta).all(), delta, jnp.zeros_like(delta))
             return se3_exp(delta) @ T, None
 
