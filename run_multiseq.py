@@ -134,9 +134,12 @@ def run_full(args):
     from vo_tpu.utils.config import DetectorConfig, KLTConfig, VOConfig
 
     specs = _full_specs(args.full_frames)
-    # The stop-and-go lane runs the adaptive keyframe policy's home turf;
-    # the batched program is config-static, so all lanes share the default
-    # (fixed-cadence) config — EVAL.md documents the per-policy split.
+    # Keyframe policy is a TRACED lane parameter (VOState.kf_adaptive), so
+    # the lockstep batch mixes policies inside ONE compiled program: the
+    # stop-and-go and tight-turn lanes run the motion/covisibility-gated
+    # adaptive policy (their validated config — tools/ablate_keyframes.py),
+    # the constant-speed lanes keep the fixed cadence default.
+    ADAPTIVE_LANES = {"stopgo", "tight"}
     cfg = VOConfig(capacity=args.capacity)
     if args.no_pallas:
         cfg = dataclasses.replace(
@@ -167,6 +170,8 @@ def run_full(args):
     batched = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *states
     )
+    lane_adaptive = jnp.asarray([name in ADAPTIVE_LANES for name in names])
+    batched = batched._replace(kf_adaptive=lane_adaptive)
     Ks = jnp.broadcast_to(jnp.asarray(seq.K), (B, 3, 3))
 
     # Chunked launches (the run_vo --chunk deployment shape): one

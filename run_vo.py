@@ -61,6 +61,9 @@ def parse_args(argv=None):
                    help="frames per device-resident lax.scan rollout chunk "
                         "(1 = per-frame stepping; >1 = deployment shape, one "
                         "launch/fetch per chunk)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable the Pallas kernels (fused detect NMS + LK "
+                        "DMA patch gather); XLA fallback paths are used")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable the native decode-ahead frame prefetcher")
     p.add_argument("--pose-graph", action="store_true",
@@ -106,10 +109,16 @@ def main(argv=None):
         kitti_sequence=args.kitti_sequence,
     )
     n_frames = len(seq) if args.max_frames <= 0 else min(args.max_frames, len(seq))
+    from vo_tpu.utils.config import KLTConfig
+
     cfg = VOConfig(
         capacity=args.capacity,
         tracker=args.tracker,
-        detector=DetectorConfig(method=args.detector),
+        detector=DetectorConfig(
+            method=args.detector,
+            use_pallas=False if args.no_pallas else None,
+        ),
+        klt=KLTConfig(use_pallas=False if args.no_pallas else None),
         ba=BAConfig(enabled=not args.no_ba, window=args.ba_window,
                     keyframe_every=args.ba_every, keyframe_mode=args.kf_mode),
     )

@@ -168,3 +168,102 @@ def test_batched_vo_rollout_matches_single():
         np.asarray(batched.num_triangulated[:, 1]),
         np.asarray(single.num_triangulated),
     )
+
+
+def test_per_lane_keyframe_policy_diverges_in_one_program():
+    """kf_adaptive is a TRACED lane parameter (VERDICT r3 task #6): one
+    compiled lockstep program runs fixed cadence on lane 0 and the adaptive
+    gates on lane 1. A stationary camera separates them: fixed cadence keeps
+    pushing keyframes while the adaptive policy (correctly) pushes none."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vo_tpu.models.pipeline import bootstrap
+    from vo_tpu.parallel.multiseq import batched_vo_rollout, replicate_state
+    from vo_tpu.utils.config import DetectorConfig, KLTConfig, VOConfig
+
+    cfg = VOConfig(
+        capacity=64,
+        detector=DetectorConfig(border=8, nms_radius=4),
+        klt=KLTConfig(pyramid_levels=2, radius=4),
+    )
+    h, w = 72, 96
+    key = jax.random.PRNGKey(0)
+    base = 127.0 + 40.0 * jax.random.normal(key, (h, w), jnp.float32)
+    imgs = [jnp.roll(base, (i, 2 * i), axis=(0, 1)) for i in range(3)]
+    K = jnp.asarray([[80.0, 0, 48.0], [0, 80.0, 36.0], [0, 0, 1.0]], jnp.float32)
+    st, _ = bootstrap(imgs[0], imgs[2], K, cfg, jax.random.PRNGKey(7))
+
+    b = 2
+    states = replicate_state(st, b)
+    states = states._replace(
+        rng=jnp.stack([st.rng] * b),
+        kf_adaptive=jnp.asarray([False, True]),
+    )
+    Ks = jnp.broadcast_to(K, (b, 3, 3))
+    # Stationary: every frame equals the bootstrap frame.
+    bstack = jnp.stack([jnp.stack([imgs[2]] * b)] * 6)
+    final, outs = batched_vo_rollout(states, bstack, Ks, cfg)
+
+    last_kf = np.asarray(final.last_kf_idx)
+    # Fixed cadence pushed through the stop; adaptive pushed nothing after
+    # the bootstrap keyframe (frame_gap = 2).
+    assert last_kf[0] > 2, last_kf
+    assert last_kf[1] == 2, last_kf
+    # Both lanes stayed healthy (tracking a static scene is trivial).
+    assert bool(np.asarray(outs.pose_ok).all())
+
+
+def test_distributed_pg_optimize_matches_single_device():
+    """Edge-sharded pose-graph GN (parallel/dist_pg.py) must match the
+    single-device optimizer to f32 on every node pose and the error trace
+    (VERDICT r3 task #7)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vo_tpu.geom.lie import se3_exp
+    from vo_tpu.models.pose_graph import (
+        add_loop_edge, add_node, empty_pose_graph, pg_optimize,
+    )
+    from vo_tpu.parallel.dist_pg import distributed_pg_optimize
+    from vo_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n = 24
+    # Noisy closed-ish chain with one exact loop edge (same plant as
+    # tests/test_pose_graph.py).
+    poses = [np.eye(4, dtype=np.float32)]
+    for _ in range(n - 1):
+        c, s = np.cos(2 * np.pi / n), np.sin(2 * np.pi / n)
+        d = np.eye(4, dtype=np.float32)
+        d[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+        d[:3, 3] = [0, 0, 1.0]
+        poses.append(poses[-1] @ d)
+    gt = np.stack(poses)
+    g = empty_pose_graph(num_nodes=n + 4, num_loop_edges=8)
+    cur = jnp.asarray(gt[0])
+    g = add_node(g, cur, 0)
+    for k in range(1, n):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        noise = 0.01 * rng.standard_normal(6).astype(np.float32)
+        rel = rel @ np.asarray(se3_exp(jnp.asarray(noise)))
+        cur = cur @ jnp.asarray(rel)
+        g = add_node(g, cur, k)
+    g = add_loop_edge(
+        g, jnp.int32(0), jnp.int32(n - 1),
+        jnp.asarray(np.linalg.inv(gt[0]) @ gt[n - 1]),
+    )
+
+    ref, ref_errs = pg_optimize(g, iters=6, damping=1e-5)
+    mesh = make_mesh(n_data=2, n_model=4)
+    out, errs = distributed_pg_optimize(mesh, g, iters=6, damping=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(out.node_pose), np.asarray(ref.node_pose),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(errs), np.asarray(ref_errs), rtol=1e-4, atol=1e-7
+    )
+    assert float(errs[-1]) < float(errs[0])

@@ -237,9 +237,17 @@ def _gn_step(window: BAWindow, K: jnp.ndarray, damping: float, huber_px: float,
     # SPD by construction (J^T J + damping + gauge), so the LU pivot loop
     # XLA lowers jnp.linalg.solve to (~0.3 ms at 36x36 on v5e) buys nothing.
     delta_c = spd_solve_blocked(S, -b_red)
+    # A degenerate window (floored Cholesky pivot) must yield a no-op step,
+    # not NaN poses — same guard refine_pose_gn applies (ops/pnp.py).
+    solve_ok = jnp.isfinite(delta_c).all()
+    delta_c = jnp.where(solve_ok, delta_c, 0.0)
     # Back-substitute landmarks: V dx = -bx - Wc^T dc
     rhs = -bx - jnp.einsum("lwab,wa->lb", Wc, delta_c)
     delta_x = jnp.einsum("lab,lb->la", Vinv, rhs)
+    delta_x = jnp.where(
+        solve_ok & jnp.isfinite(delta_x).all(axis=-1, keepdims=True),
+        delta_x, 0.0,
+    )
 
     # Apply: c_T_w <- exp(delta) c_T_w; landmarks += delta_x (valid only).
     delta_c = jnp.where(window.kf_valid[:, None], delta_c, 0.0)

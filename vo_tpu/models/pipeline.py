@@ -67,6 +67,13 @@ class VOState(NamedTuple):
     rng: jax.Array
     window: BAWindow  # sliding keyframe window for on-device BA
     last_kf_idx: jnp.ndarray  # () int32 frame index of the newest keyframe
+    # () bool — keyframe policy as a TRACED lane parameter: True = the
+    # motion/covisibility-gated adaptive policy, False = fixed cadence.
+    # Lives in the state (not the static config) so lockstep multi-sequence
+    # batches can mix policies per lane in ONE compiled program — stop-and-go
+    # lanes need adaptive while constant-speed lanes prefer fixed cadence
+    # (EVAL.md multiseq table). Initialized from cfg.ba.keyframe_mode.
+    kf_adaptive: jnp.ndarray
 
 
 class StepOutput(NamedTuple):
@@ -282,6 +289,7 @@ def bootstrap(
         rng=rng,
         window=window,
         last_kf_idx=jnp.asarray(cfg.bootstrap.frame_gap, jnp.int32),
+        kf_adaptive=jnp.asarray(cfg.ba.keyframe_mode == "adaptive"),
     )
     n3 = good3d.sum()
     out = StepOutput(
@@ -520,43 +528,48 @@ def vo_step(
             window,
         )
 
-        # -- Keyframe policy --
-        if cfg.ba.keyframe_mode == "every":
-            want_kf = new_frame_idx % cfg.ba.keyframe_every == 0
-        else:
-            # Adaptive: keyframes carry information ∝ parallax, not ∝ time.
-            # Push when motion or map turnover since the newest keyframe is
-            # significant; always within [min_gap, max_gap] frames.
-            b = cfg.ba
-            last_pose = window.kf_pose[-1].reshape(4, 4)
-            gap = new_frame_idx - state.last_kf_idx
-            tri_f = table.state == STATE_TRIANGULATED
-            n_tri = jnp.maximum(tri_f.sum(), 1)
-            z_tri = (T_cw[2, :3] * table.landmark).sum(-1) + T_cw[2, 3]
-            mean_depth = jnp.maximum(
-                (jnp.where(tri_f, z_tri, 0.0)).sum() / n_tri, 1e-3
-            )
-            baseline = jnp.linalg.norm(pose[:3, 3] - last_pose[:3, 3])
-            cos_r = 0.5 * (jnp.trace(last_pose[:3, :3].T @ pose[:3, :3]) - 1.0)
-            rot = jnp.arccos(jnp.clip(cos_r, -1.0, 1.0))
-            covis = (
-                (tri_f & window.obs_mask[:, -1] & (window.lm_uid == table.uid)).sum()
-                / n_tri
-            )
-            # A stationary camera must push NO keyframes at all — not even
-            # the max_gap force: zero-baseline keyframes shrink the window's
-            # physical span toward zero and the monocular gauge pair
-            # degenerates (the r2 stop-and-go failure, 112 fallbacks with
-            # fixed cadence — tools/ablate_keyframes.py).
-            moving = baseline / mean_depth >= 0.25 * b.min_baseline_ratio
-            want_kf = (gap >= b.min_gap) & (
-                (baseline / mean_depth >= b.min_baseline_ratio)
-                | (rot >= b.min_rotation_rad)
-                | (moving & (covis < b.min_covisibility))
-                | (moving & (gap >= b.max_gap))
-            )
-            # Empty window (bootstrap edge / post-recovery): restart now.
-            want_kf = want_kf | ~window.kf_valid[-1]
+        # -- Keyframe policy: a TRACED per-lane switch (state.kf_adaptive).
+        # Both policies are computed (a handful of reductions, negligible
+        # next to the BA cond) and selected with jnp.where, so one compiled
+        # lockstep multi-sequence program can run stop-and-go lanes on the
+        # adaptive gates and constant-speed lanes on fixed cadence.
+        want_every = new_frame_idx % cfg.ba.keyframe_every == 0
+
+        # Adaptive: keyframes carry information ∝ parallax, not ∝ time.
+        # Push when motion or map turnover since the newest keyframe is
+        # significant; always within [min_gap, max_gap] frames.
+        b = cfg.ba
+        last_pose = window.kf_pose[-1].reshape(4, 4)
+        gap = new_frame_idx - state.last_kf_idx
+        tri_f = table.state == STATE_TRIANGULATED
+        n_tri = jnp.maximum(tri_f.sum(), 1)
+        z_tri = (T_cw[2, :3] * table.landmark).sum(-1) + T_cw[2, 3]
+        mean_depth = jnp.maximum(
+            (jnp.where(tri_f, z_tri, 0.0)).sum() / n_tri, 1e-3
+        )
+        baseline = jnp.linalg.norm(pose[:3, 3] - last_pose[:3, 3])
+        cos_r = 0.5 * (jnp.trace(last_pose[:3, :3].T @ pose[:3, :3]) - 1.0)
+        rot = jnp.arccos(jnp.clip(cos_r, -1.0, 1.0))
+        covis = (
+            (tri_f & window.obs_mask[:, -1] & (window.lm_uid == table.uid)).sum()
+            / n_tri
+        )
+        # A stationary camera must push NO keyframes at all — not even
+        # the max_gap force: zero-baseline keyframes shrink the window's
+        # physical span toward zero and the monocular gauge pair
+        # degenerates (the r2 stop-and-go failure, 112 fallbacks with
+        # fixed cadence — tools/ablate_keyframes.py).
+        moving = baseline / mean_depth >= 0.25 * b.min_baseline_ratio
+        want_adaptive = (gap >= b.min_gap) & (
+            (baseline / mean_depth >= b.min_baseline_ratio)
+            | (rot >= b.min_rotation_rad)
+            | (moving & (covis < b.min_covisibility))
+            | (moving & (gap >= b.max_gap))
+        )
+        # Empty window (bootstrap edge / post-recovery): restart now.
+        want_adaptive = want_adaptive | ~window.kf_valid[-1]
+
+        want_kf = jnp.where(state.kf_adaptive, want_adaptive, want_every)
 
         def _with_ba(op):
             win, tbl, p, _ = op
@@ -597,6 +610,7 @@ def vo_step(
         rng=rng,
         window=window,
         last_kf_idx=last_kf_idx,
+        kf_adaptive=state.kf_adaptive,
     )
     out = StepOutput(
         pose=pose,

@@ -256,16 +256,18 @@ def _edge_terms(Sa, Sb, z):
     return r, Ja, Jb
 
 
-def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
-                        damping, scale_gauge):
-    """One GN step over all constraints. poses: (N, 4, 4) similarities.
-    `scale_gauge` (N,) adds _GAUGE to a node's lam DoF (1 = scale pinned)."""
+def scatter_edge_terms(poses, a_idx, b_idx, z, w, valid, n_cap):
+    """Scatter-assemble the (unregularized) normal system for a SET of
+    constraints: H (N, N, 7, 7) block Hessian, g (N, 7) gradient, row_deg
+    (N,) constraint count per node, err the weighted mean squared residual
+    numerator/denominator pair. Pure function of its edge shard — the
+    distributed optimizer (parallel/dist_pg.py) runs it per shard and
+    psum-reduces all four outputs."""
     Sa = poses[a_idx]
     Sb = poses[b_idx]
     r, Ja, Jb = jax.vmap(_edge_terms)(Sa, Sb, z)
     wm = (w * valid)[:, None, None]
 
-    N7 = 7 * n_cap
     H = jnp.zeros((n_cap, n_cap, 7, 7), r.dtype)
     g = jnp.zeros((n_cap, 7), r.dtype)
     JaW = Ja * wm
@@ -276,7 +278,19 @@ def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
     H = H.at[b_idx, a_idx].add(jnp.einsum("eia,eib->eab", JbW, Ja))
     g = g.at[a_idx].add(jnp.einsum("eia,ei->ea", JaW, r))
     g = g.at[b_idx].add(jnp.einsum("eia,ei->ea", JbW, r))
+    row_deg = (
+        jnp.zeros((n_cap,), r.dtype).at[a_idx].add(valid).at[b_idx].add(valid)
+    )
+    err_num = jnp.sum((r * r).sum(-1) * w * valid)
+    err_den = valid.sum()
+    return H, g, row_deg, err_num, err_den
 
+
+def regularize_and_solve(H, g, row_deg, n_cap, gauge_idx, damping,
+                         scale_gauge):
+    """Damping + gauge pins + the SPD block solve. H/g/row_deg are the
+    (already reduced) outputs of `scatter_edge_terms`."""
+    N7 = 7 * n_cap
     diag = jnp.arange(n_cap)
     H = H.at[diag, diag].add(damping * jnp.eye(7)[None])
     H = H.at[gauge_idx, gauge_idx].add(_GAUGE * jnp.eye(7))
@@ -284,7 +298,6 @@ def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
     lam_pin = jnp.zeros((7, 7)).at[6, 6].set(_GAUGE)
     H = H.at[diag, diag].add(scale_gauge[:, None, None] * lam_pin[None])
     # Unconstrained rows (invalid nodes): pin so the dense solve is well-posed.
-    row_deg = jnp.zeros((n_cap,), r.dtype).at[a_idx].add(valid).at[b_idx].add(valid)
     H = H.at[diag, diag].add(
         (row_deg < 0.5)[:, None, None] * _GAUGE * jnp.eye(7)[None]
     )
@@ -299,24 +312,13 @@ def _assemble_and_solve(poses, a_idx, b_idx, z, w, valid, n_cap, gauge_idx,
     delta = jax.scipy.linalg.solve_triangular(
         L, y, lower=True, trans=1
     ).reshape(n_cap, 7)
-    err = jnp.sum((r * r).sum(-1) * w * valid) / jnp.maximum(valid.sum(), 1)
-    return delta, err
+    return delta
 
 
-@partial(jax.jit, static_argnames=("iters", "optimize_scale"))
-def pg_optimize(
-    graph: PoseGraph,
-    iters: int = 10,
-    damping: float = 1e-4,
-    optimize_scale: bool = True,
-) -> tuple[PoseGraph, jnp.ndarray]:
-    """Batched GN over the whole graph. Returns (optimized graph, (iters,)
-    mean squared residual trace — errs[i] is BEFORE step i).
-
-    The gauge is the oldest valid node (all 7 DoF); with
-    `optimize_scale=False` every node's scale is pinned (rigid SE(3) mode).
-    The optimized graph is accepted only if the final error did not increase
-    (diverged solves never corrupt the trajectory)."""
+def build_edges(graph: PoseGraph):
+    """Flatten a PoseGraph into its constraint set: (a_idx, b_idx, z, w,
+    valid) with the chain constraints first, then the loop edges. Shared by
+    the single-device and the mesh-sharded (parallel/dist_pg.py) optimizers."""
     N = graph.capacity
     idx = jnp.arange(N)
     # Chain constraints: (k-1, k) for valid k >= 1.
@@ -337,16 +339,38 @@ def pg_optimize(
         [jnp.full((N,), graph.seq_weight), jnp.ones((graph.loop_valid.shape[0],))]
     )
     valid = jnp.concatenate([seq_valid, lv]).astype(z.dtype)
+    return a_idx, b_idx, z, w, valid
+
+
+@partial(jax.jit, static_argnames=("iters", "optimize_scale"))
+def pg_optimize(
+    graph: PoseGraph,
+    iters: int = 10,
+    damping: float = 1e-4,
+    optimize_scale: bool = True,
+) -> tuple[PoseGraph, jnp.ndarray]:
+    """Batched GN over the whole graph. Returns (optimized graph, (iters,)
+    mean squared residual trace — errs[i] is BEFORE step i).
+
+    The gauge is the oldest valid node (all 7 DoF); with
+    `optimize_scale=False` every node's scale is pinned (rigid SE(3) mode).
+    The optimized graph is accepted only if the final error did not increase
+    (diverged solves never corrupt the trajectory)."""
+    N = graph.capacity
+    a_idx, b_idx, z, w, valid = build_edges(graph)
     gauge_idx = jnp.argmax(graph.node_valid)
     scale_gauge = (
         jnp.zeros((N,)) if optimize_scale else jnp.ones((N,))
     )
 
     def body(poses, _):
-        delta, err = _assemble_and_solve(
-            poses, a_idx, b_idx, z, w, valid, N, gauge_idx, damping,
-            scale_gauge,
+        H, g, row_deg, err_num, err_den = scatter_edge_terms(
+            poses, a_idx, b_idx, z, w, valid, N
         )
+        delta = regularize_and_solve(
+            H, g, row_deg, N, gauge_idx, damping, scale_gauge
+        )
+        err = err_num / jnp.maximum(err_den, 1)
         delta = jnp.where(graph.node_valid[:, None], delta, 0.0)
         poses = jax.vmap(lambda S, d: S @ sim3_exp(d))(poses, delta)
         return poses, err

@@ -26,7 +26,16 @@ the design is TPU-first per SURVEY.md §7 "fixed-iteration GN ... jitted".
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax.numpy as jnp
+
+# TPU f32 matmuls default to bf16 passes (8 mantissa bits). A Cholesky
+# Schur update `D - L L^T` against the 1e8 gauge block cancels ~8 decimal
+# digits — at bf16 the pivot comes out wildly wrong (observed: non-finite
+# poses from frame 42 of the headline run). Full-f32 multiplies are
+# mandatory here; these blocks are 6x6/7x7 so the cost is nil.
+_mm = partial(jnp.matmul, precision="highest")
 
 
 def chol_small(A: jnp.ndarray, n: int, eps: float = 1e-20) -> jnp.ndarray:
@@ -108,13 +117,13 @@ def spd_solve_blocked(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     for j in range(W):
         D = S[j, j]
         for k in range(j):
-            D = D - L[j][k] @ L[j][k].T
+            D = D - _mm(L[j][k], L[j][k].T)
         Ljj = chol_small(D, B)
         L[j][j] = Ljj
         for i in range(j + 1, W):
             M = S[i, j]
             for k in range(j):
-                M = M - L[i][k] @ L[j][k].T
+                M = M - _mm(L[i][k], L[j][k].T)
             # X = M Ljj^{-T}  <=>  Ljj X^T = M^T
             L[i][j] = tri_solve_lower(Ljj, M.T, B).T
     # Forward: L y = b (block rows).
@@ -122,13 +131,13 @@ def spd_solve_blocked(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     for i in range(W):
         s = b[i]
         for k in range(i):
-            s = s - L[i][k] @ y[k]
+            s = s - _mm(L[i][k], y[k])
         y[i] = tri_solve_lower(L[i][i], s[:, None], B)[:, 0]
     # Backward: L^T x = y.
     x = [None] * W
     for i in reversed(range(W)):
         s = y[i]
         for k in range(i + 1, W):
-            s = s - L[k][i].T @ x[k]
+            s = s - _mm(L[k][i].T, x[k])
         x[i] = tri_solve_lower_t(L[i][i], s[:, None], B)[:, 0]
     return jnp.stack(x)

@@ -1,0 +1,240 @@
+"""Sequence-parallel bundle adjustment: the BA window GROWS with hosts.
+
+`parallel/dist_ba.py` shards LANDMARK rows — map capacity scales with the
+mesh, but the keyframe window stays W (VERDICT r3 missing #4). This module
+shards the KEYFRAME axis instead — the TPU-native analog of sequence
+parallelism named in SURVEY.md §5: "window blocks sharded per host, halo
+exchange of shared landmarks ... so the optimizable window scales with
+hosts the way ring-attention scales tokens."
+
+Layout: a composed window of W_eff = n_shards * W_block keyframes. Each
+device holds ONLY its block's per-keyframe state — kf_pose/kf_valid
+(W_block,) and the observation arrays obs_uv/obs_mask (L, W_block, ...),
+which are the memory that bounds the window size on one device. Landmarks
+are replicated (same as the keyframe state in dist_ba — the dual choice).
+
+Per GN iteration (exactly the single-device Schur math, reassociated):
+
+  residuals/Jacobians        local        (L, W_block) sweep
+  camera blocks U, b_c       local        per-keyframe
+  landmark blocks V, b_x     psum         the "shared landmark boundary" —
+                                          every landmark seen from several
+                                          blocks couples them here
+  cross blocks Wc            local        (L, W_block, 6, 3)
+  Schur coupling S[w, v]     all_gather   camera-camera fill-in crosses
+                                          blocks through shared landmarks
+  reduced (6 W_eff) solve    replicated   spd_solve_blocked, tiny
+  landmark back-substitution psum         partial Wc^T dc sums
+
+Communication per iteration: O(L*9) for V + O(L*W_eff*18) for the Wc
+gather + O(W_eff^2*36) for S — all independent of image size and linear in
+the window. The persistent per-device footprint is O(L * W_block): doubling
+the hosts doubles the optimizable window at constant per-device memory.
+
+Numerically identical to running models.ba.ba_refine on the full W_eff
+window on one giant device (tests/test_window_blocks.py asserts f32
+parity); no reference counterpart exists (the reference has no BA at all —
+Report.pdf 3.1.1 names it as future work).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vo_tpu.geom.lie import pose_inverse, se3_exp
+from vo_tpu.models.ba import (
+    BAWindow,
+    _GAUGE,
+    _inv3,
+    _residuals_jacobians,
+    _two_oldest_valid,
+)
+from vo_tpu.ops.linalg import spd_solve_blocked
+
+
+def window_block_specs() -> BAWindow:
+    """PartitionSpecs: keyframe axis sharded, landmark state replicated —
+    the transpose of dist_ba's layout."""
+    return BAWindow(
+        kf_pose=P("model"),
+        kf_valid=P("model"),
+        obs_uv=P(None, "model"),
+        obs_mask=P(None, "model"),
+        landmark=P(),
+        lm_uid=P(),
+        lm_valid=P(),
+    )
+
+
+def shard_window_blocks(window: BAWindow, mesh: Mesh) -> BAWindow:
+    """Place a composed W_eff window with keyframe blocks sharded over
+    "model". W_eff must divide by the mesh "model" size."""
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        window,
+        window_block_specs(),
+    )
+
+
+def _masked_err(win, K, psum):
+    r, _, _, depth_ok = _residuals_jacobians(
+        win.kf_pose, win.landmark, win.obs_uv, K
+    )
+    mask = (
+        win.obs_mask & depth_ok & win.lm_valid[:, None] & win.kf_valid[None, :]
+    )
+    rn = jnp.linalg.norm(r, axis=-1)
+    num = psum(jnp.sum(jnp.where(mask, rn, 0.0)))
+    den = psum(mask.sum())
+    return num / jnp.maximum(den, 1)
+
+
+def seqpar_ba_refine(
+    mesh: Mesh,
+    window: BAWindow,
+    K: jnp.ndarray,
+    iters: int = 5,
+    damping: float = 1e-3,
+    huber_px: float = 2.0,
+    fix_scale: bool = True,
+    axis: str = "model",
+) -> tuple[BAWindow, jnp.ndarray]:
+    """ba_refine over a composed window whose keyframe axis is sharded over
+    `axis`. Returns (refined window, (iters,) error trace), with the same
+    accept-only-if-error-did-not-increase gate as the single-device solver.
+    """
+    n_shards = mesh.shape[axis]
+    W_eff = window.window_size
+    assert W_eff % n_shards == 0, (W_eff, n_shards)
+    Wb = W_eff // n_shards
+    assert axis == "model", "keyframe blocks shard over the 'model' axis"
+    specs = window_block_specs()
+
+    def gn_step(win, psum, gather_kf, shard_idx):
+        """One Schur GN step on the LOCAL keyframe block (mirrors
+        models.ba._gn_step with the reductions placed per tensor)."""
+        r, Jc, Jx, depth_ok = _residuals_jacobians(
+            win.kf_pose, win.landmark, win.obs_uv, K
+        )
+        mask = (
+            win.obs_mask & depth_ok
+            & win.lm_valid[:, None] & win.kf_valid[None, :]
+        )
+        rn = jnp.linalg.norm(r, axis=-1)
+        wgt = jnp.where(rn > huber_px, huber_px / jnp.maximum(rn, 1e-9), 1.0)
+        m = (mask * wgt)[..., None, None]
+        err = psum(jnp.sum(jnp.where(mask, rn, 0.0))) / jnp.maximum(
+            psum(mask.sum()), 1
+        )
+
+        Jc_m = Jc * m
+        U = jnp.einsum("lwia,lwib->wab", Jc_m, Jc)  # (Wb, 6, 6) local
+        bc = jnp.einsum("lwia,lwi->wa", Jc_m, r)  # (Wb, 6) local
+        Jx_m = Jx * m
+        # Landmark blocks couple ALL blocks observing the landmark: psum is
+        # the halo exchange on the shared-landmark boundary.
+        V = psum(jnp.einsum("lwia,lwib->lab", Jx_m, Jx))
+        bx = psum(jnp.einsum("lwia,lwi->la", Jx_m, r))
+        Wc = jnp.einsum("lwia,lwib->lwab", Jc_m, Jx)  # (L, Wb, 6, 3) local
+
+        lam = damping
+        V = V + lam * jnp.eye(3)[None]
+        Vinv = _inv3(V) * win.lm_valid[:, None, None]
+        WVi = jnp.einsum("lwab,lbc->lwac", Wc, Vinv)  # (L, Wb, 6, 3) local
+
+        # Cross-block Schur fill-in: S[w, v] = -sum_l WVi[l,w] Wc[l,v]^T
+        # needs every block's Wc — the camera-side all_gather of SURVEY §5.
+        Wc_all = gather_kf(Wc, 1)  # (L, W_eff, 6, 3)
+        S_rows = -jnp.einsum("lwac,lvbc->wvab", WVi, Wc_all)  # (Wb, W_eff,...)
+        local_w = shard_idx * Wb + jnp.arange(Wb)
+        S_rows = S_rows.at[jnp.arange(Wb), local_w].add(
+            U + lam * jnp.eye(6)[None]
+        )
+        S = gather_kf(S_rows, 0)  # (W_eff, W_eff, 6, 6) replicated
+        b_red_loc = bc - jnp.einsum("lwac,lc->wa", WVi, bx)
+        b_red = gather_kf(b_red_loc, 0)  # (W_eff, 6)
+
+        # Gauge on the globally-oldest valid keyframe; pin dead rows.
+        kf_valid_all = gather_kf(win.kf_valid, 0)
+        first = jnp.argmax(kf_valid_all)
+        diag = jnp.arange(W_eff)
+        S = S.at[first, first].add(_GAUGE * jnp.eye(6))
+        S = S.at[diag, diag].add(
+            (~kf_valid_all)[:, None, None] * _GAUGE * jnp.eye(6)[None]
+        )
+
+        delta_c = spd_solve_blocked(S, -b_red)  # (W_eff, 6) replicated
+        solve_ok = jnp.isfinite(delta_c).all()
+        delta_c = jnp.where(solve_ok, delta_c, 0.0)
+        delta_c = jnp.where(kf_valid_all[:, None], delta_c, 0.0)
+        dc_loc = jax.lax.dynamic_slice_in_dim(delta_c, shard_idx * Wb, Wb)
+
+        # Landmark back-substitution: V dx = -bx - sum_w Wc^T dc (over ALL
+        # blocks -> psum of the local partial).
+        cross = psum(jnp.einsum("lwab,wa->lb", Wc, dc_loc))
+        delta_x = jnp.einsum("lab,lb->la", Vinv, -bx - cross)
+        delta_x = jnp.where(
+            solve_ok & jnp.isfinite(delta_x).all(axis=-1, keepdims=True),
+            delta_x, 0.0,
+        )
+
+        T_cw = pose_inverse(win.kf_pose.reshape(-1, 4, 4))
+        T_cw_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dc_loc, T_cw)
+        kf_pose = pose_inverse(T_cw_new).reshape(Wb, 16)
+        landmark = win.landmark + jnp.where(
+            win.lm_valid[:, None], delta_x, 0.0
+        )
+        return win._replace(kf_pose=kf_pose, landmark=landmark), err
+
+    # check_vma=False: the landmark/error outputs are replicated by
+    # construction (every term they derive from is a psum or an all_gather),
+    # but the VMA tracker cannot infer that through the scan carry.
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh, in_specs=(specs, P()), out_specs=(specs, P()),
+        check_vma=False,
+    )
+    def run(win, K_):
+        psum = lambda x: jax.lax.psum(x, axis)
+        shard_idx = jax.lax.axis_index(axis)
+
+        def gather_kf(x, dim):
+            return jax.lax.all_gather(x, axis, axis=dim, tiled=True)
+
+        err0 = _masked_err(win, K_, psum)
+        centers0 = gather_kf(win.kf_pose.reshape(-1, 4, 4)[:, :3, 3], 0)
+        kf_valid_all = gather_kf(win.kf_valid, 0)
+        i0, i1, has2 = _two_oldest_valid(kf_valid_all)
+        d_before = jnp.linalg.norm(centers0[i1] - centers0[i0])
+
+        def body(w, _):
+            return gn_step(w, psum, gather_kf, shard_idx)
+
+        refined, errs = jax.lax.scan(body, win, None, length=iters)
+
+        if fix_scale:
+            poses = refined.kf_pose.reshape(-1, 4, 4)
+            centers_all = gather_kf(poses[:, :3, 3], 0)
+            anchor = centers_all[i0]
+            d_after = jnp.linalg.norm(centers_all[i1] - anchor)
+            s = jnp.where(has2 & (d_after > 1e-9), d_before / d_after, 1.0)
+            new_centers = anchor + s * (poses[:, :3, 3] - anchor)
+            poses = poses.at[:, :3, 3].set(new_centers)
+            landmark = anchor + s * (refined.landmark - anchor)
+            refined = refined._replace(
+                kf_pose=poses.reshape(-1, 16), landmark=landmark
+            )
+
+        err1 = _masked_err(refined, K_, psum)
+        accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), refined, win
+        )
+        return out, errs
+
+    return run(window, K)

@@ -181,6 +181,7 @@ def _template_state(cfg: VOConfig, pyramid_levels: int) -> VOState:
         rng=jax.random.PRNGKey(0),
         window=empty_window(cfg.ba.window, cfg.capacity),
         last_kf_idx=jnp.asarray(0),
+        kf_adaptive=jnp.asarray(False),
     )
 
 
