@@ -36,8 +36,10 @@ def parse_args(argv=None):
                    help="front-end mode (ref tracker.py dispatch)")
     p.add_argument("--detector", choices=["shi_tomasi", "harris"], default="shi_tomasi")
     p.add_argument("--no-ba", action="store_true", help="disable windowed BA")
-    p.add_argument("--ba-window", type=int, default=6)
-    p.add_argument("--ba-every", type=int, default=3)
+    # None -> defer to the BAConfig dataclass defaults (utils/config.py), so
+    # tuning the library default cannot silently diverge from the CLI.
+    p.add_argument("--ba-window", type=int, default=None)
+    p.add_argument("--ba-every", type=int, default=None)
     p.add_argument("--kf-mode", choices=["adaptive", "every"], default="every",
                    help="keyframe policy: fixed cadence (every --ba-every "
                         "frames; the validated default) or motion/"
@@ -119,8 +121,10 @@ def main(argv=None):
             use_pallas=False if args.no_pallas else None,
         ),
         klt=KLTConfig(use_pallas=False if args.no_pallas else None),
-        ba=BAConfig(enabled=not args.no_ba, window=args.ba_window,
-                    keyframe_every=args.ba_every, keyframe_mode=args.kf_mode),
+        ba=BAConfig(enabled=not args.no_ba, keyframe_mode=args.kf_mode,
+                    **{k: v for k, v in (("window", args.ba_window),
+                                         ("keyframe_every", args.ba_every))
+                       if v is not None}),
     )
     K = jnp.asarray(seq.K)
     gap = cfg.bootstrap.frame_gap

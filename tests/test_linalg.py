@@ -99,3 +99,8 @@ def test_spd_solve_blocked_jits():
         np.asarray(f(S, rhs)), np.asarray(spd_solve_blocked(S, rhs)),
         rtol=1e-5, atol=1e-5,
     )
+
+# The TPU-only bf16-cancellation regression for spd_solve_blocked (the r4
+# frame-42 divergence) lives in tools/check_pallas_tpu.py — the pytest
+# harness pins the suite to the CPU mesh, so on-device checks run through
+# that subprocess tool (tests/test_pallas_tpu.py).

@@ -136,10 +136,73 @@ def main() -> int:
         bad = int((got_pb != ref_pb).any(axis=(2, 3)).sum())
         failures.append(f"batched gather: {bad} patches differ")
 
+    # --- second deployment shape: 640x480 (the headline sequence) -----------
+    h2, w2_ = 480, 640
+    img2 = jnp.asarray(rng.uniform(0, 255, (h2, w2_)).astype(np.float32))
+    fused2 = np.asarray(corner_response_nms(img2, mode="shi_tomasi",
+                                            patch_size=7, nms_radius=8))
+    resp2 = shi_tomasi_response(img2, patch_size=7)
+    kp2 = select_keypoints(resp2, num_keypoints=512, nms_radius=8, border=16)
+    fm2 = np.array(fused2)
+    fm2[:16, :] = -np.inf
+    fm2[-16:, :] = -np.inf
+    fm2[:, :16] = -np.inf
+    fm2[:, -16:] = -np.inf
+    flat2 = np.argsort(fm2.ravel())[::-1][:512]
+    got2 = np.stack([flat2 % w2_, flat2 // w2_], axis=-1).astype(np.float32)
+    want2 = np.asarray(kp2.xy)[np.asarray(kp2.valid)]
+    inter2 = len({tuple(p) for p in got2[: len(want2)]} & {tuple(p) for p in want2})
+    if inter2 < 0.99 * len(want2):
+        failures.append(f"640x480 NMS: {inter2}/{len(want2)} common")
+
+    imgp2 = jnp.pad(img2, ((pad, pad), (pad, pad)))
+    c640 = jnp.stack(
+        [
+            jnp.asarray(rng.integers(0, w2_ + 2 * pad - 200, k), jnp.int32),
+            jnp.asarray(rng.integers(0, h2 + 2 * pad - 40, k), jnp.int32),
+        ],
+        axis=-1,
+    )
+    gotg2 = np.asarray(extract_patches_aligned(imgp2, c640, size))
+
+    def one2(c):
+        return jax.lax.dynamic_slice(imgp2, (c[1], c[0]), (size, size))
+
+    wantg2 = np.asarray(jax.jit(jax.vmap(one2))(c640))
+    if not np.array_equal(gotg2, wantg2):
+        bad = int((gotg2 != wantg2).any(axis=(1, 2)).sum())
+        failures.append(f"640x480 gather: {bad}/{k} patches differ")
+
+    # --- SPD blocked-Cholesky solve with the 1e8 gauge, ON DEVICE ------------
+    # Regression for the r4 frame-42 divergence: TPU f32 matmuls default to
+    # bf16 passes, and the Schur update against the gauge block cancels ~8
+    # digits — without precision='highest' (ops/linalg.py) the pivots floor
+    # and the solve goes non-finite. CPU f32 cannot reproduce this.
+    from vo_tpu.ops.linalg import spd_solve_blocked
+
+    M = rng.normal(size=(36, 36)).astype(np.float32)
+    A = M @ M.T + 36 * np.eye(36, dtype=np.float32)
+    A[:6, :6] += 1e8 * np.eye(6, dtype=np.float32)
+    rhs = rng.normal(size=(36,)).astype(np.float32)
+    S36 = A.reshape(6, 6, 6, 6).transpose(0, 2, 1, 3)
+    x = np.asarray(
+        jax.jit(spd_solve_blocked)(jnp.asarray(S36), jnp.asarray(rhs.reshape(6, 6)))
+    ).reshape(36)
+    x_np = np.linalg.solve(A.astype(np.float64), rhs.astype(np.float64))
+    if not np.isfinite(x).all():
+        failures.append("gauge SPD solve: non-finite on device (bf16 pivots?)")
+    elif not np.allclose(x[6:], x_np[6:], rtol=5e-3, atol=5e-3):
+        failures.append(
+            f"gauge SPD solve: max err {np.abs(x[6:] - x_np[6:]).max():.3e}"
+        )
+
     if failures:
         print("FAIL:", *failures, sep="\n  ")
         return 1
-    print(f"PASS: pallas kernels bit-match XLA oracles on {jax.devices()[0]}")
+    print(
+        f"PASS: pallas kernels bit-match XLA oracles on {jax.devices()[0]} "
+        f"(370x1226 + 640x480), gauge SPD solve finite/accurate on device"
+    )
     return 0
 
 

@@ -334,7 +334,15 @@ def ba_refine(
         )
 
     err1 = _mean_reproj_err(refined, K, reduce_fn)
-    accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02)
+    # The reprojection error alone cannot veto a non-finite keyframe: its
+    # NaN depth fails depth_ok, masking that keyframe's residuals OUT of
+    # err1 (observed: SIFT-mode NaN poses shipped through an "accepting"
+    # gate every keyframe frame). Require explicit finiteness of the poses
+    # and of every landmark the window still considers valid.
+    finite_ok = jnp.isfinite(refined.kf_pose).all() & jnp.where(
+        refined.lm_valid[:, None], jnp.isfinite(refined.landmark), True
+    ).all()
+    accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02) & finite_ok
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), refined, window
     )

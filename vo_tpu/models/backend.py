@@ -37,7 +37,7 @@ from vo_tpu.models.keyframe_db import (
     cull_entry,
     empty_db,
     make_entry,
-    query_loop,
+    query_loop_topk,
     verify_loop,
 )
 from vo_tpu.models.pose_graph import (
@@ -61,6 +61,10 @@ class BackendConfig:
     grid: int = 16
     min_frame_gap: int = 100  # place recognition: ignore recent frames
     min_similarity: float = 0.85
+    # Candidates verified per keyframe — ONE vmapped launch covers all of
+    # them (retrieval is cheap and geometric verification is the real
+    # filter, so trying several raises recall at ~no wall-clock cost).
+    topk: int = 4
     # Verification gate. Measured separation on the LOOP_SPEC circuit:
     # genuine revisits score 11-38 P3P inliers, the best FALSE candidate
     # (self-similar straight-road views, correctly rejected by geometry)
@@ -96,13 +100,28 @@ class PoseGraphBackend:
             static_argnames=("obs_per_entry", "patch_radius", "grid"),
         )
         self._jit_query = jax.jit(
-            query_loop, static_argnames=("min_frame_gap", "min_similarity")
+            query_loop_topk,
+            static_argnames=("k", "min_frame_gap", "min_similarity"),
         )
+        # All top-k candidates verify in ONE vmapped launch (match matmul +
+        # P3P-RANSAC per candidate, batched over the candidate axis).
+        def _verify_batch(keys, db, idxs, entry, K, *, ratio,
+                          inlier_threshold_px, min_inliers,
+                          search_radius_px):
+            return jax.vmap(
+                lambda k_, i_: verify_loop(
+                    k_, db, i_, entry, K, ratio=ratio,
+                    inlier_threshold_px=inlier_threshold_px,
+                    min_inliers=min_inliers,
+                    search_radius_px=search_radius_px,
+                )
+            )(keys, idxs)
+
         self._jit_verify = jax.jit(
-            verify_loop,
+            _verify_batch,
             static_argnames=(
                 "ratio", "inlier_threshold_px", "min_inliers",
-                "num_hypotheses", "search_radius_px",
+                "search_radius_px",
             ),
         )
         self._jit_cull_node = jax.jit(cull_node)
@@ -134,36 +153,46 @@ class PoseGraphBackend:
         self.graph = self._jit_add_node(
             self.graph, jnp.asarray(pose), jnp.asarray(frame, jnp.int32)
         )
-        # Place recognition against everything stored so far.
+        # Place recognition against everything stored so far: top-k
+        # candidates, all geometrically verified in one vmapped launch.
         cand = self._jit_query(
-            self.db, entry, min_frame_gap=c.min_frame_gap,
+            self.db, entry, k=c.topk, min_frame_gap=c.min_frame_gap,
             min_similarity=c.min_similarity,
         )
         info = None
-        if bool(cand.found):
+        found = np.asarray(cand.found)
+        if found.any():
             self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, c.topk)
             res = self._jit_verify(
-                sub, self.db, cand.idx, entry, self.K,
+                keys, self.db, cand.idx, entry, self.K,
                 ratio=c.ratio, inlier_threshold_px=c.inlier_threshold_px,
                 min_inliers=c.min_inliers,
                 search_radius_px=c.search_radius_px,
             )
-            if bool(res.ok):
+            ok = np.asarray(res.ok) & found
+            inl = np.asarray(res.num_inliers)
+            if ok.any():
+                best = int(np.argmax(np.where(ok, inl, -1)))
                 self.graph = self._jit_add_loop(
-                    self.graph, cand.idx, jnp.int32(node_id), res.rel
+                    self.graph, cand.idx[best], jnp.int32(node_id),
+                    res.rel[best],
                 )
                 info = dict(
-                    frame=frame, node=node_id, matched_node=int(cand.idx),
-                    matched_frame=int(self.db.frame[cand.idx]),
-                    similarity=float(cand.similarity),
-                    inliers=int(res.num_inliers),
+                    frame=frame, node=node_id,
+                    matched_node=int(cand.idx[best]),
+                    matched_frame=int(self.db.frame[cand.idx[best]]),
+                    similarity=float(cand.similarity[best]),
+                    inliers=int(inl[best]),
                 )
                 self.loops.append(info)
             else:
+                # Telemetry: the best-similarity candidate that failed.
                 self.rejected.append(dict(
-                    frame=frame, matched_frame=int(self.db.frame[cand.idx]),
-                    similarity=float(cand.similarity),
-                    inliers=int(res.num_inliers),
+                    frame=frame,
+                    matched_frame=int(self.db.frame[cand.idx[0]]),
+                    similarity=float(cand.similarity[0]),
+                    inliers=int(inl[0]),
                 ))
         self.db = self._jit_add_entry(self.db, entry)
         return info

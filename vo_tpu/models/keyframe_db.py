@@ -204,6 +204,36 @@ def query_loop(
     )
 
 
+class LoopCandidates(NamedTuple):
+    idx: jnp.ndarray  # (k,) int32 DB rows, best first
+    similarity: jnp.ndarray  # (k,)
+    found: jnp.ndarray  # (k,) bool
+
+
+def query_loop_topk(
+    db: KeyframeDB,
+    entry: KeyframeEntry,
+    k: int = 4,
+    min_frame_gap: int = 100,
+    min_similarity: float = 0.85,
+) -> LoopCandidates:
+    """Top-k place recognition: the k best stored views by global-descriptor
+    cosine similarity. Geometric verification (not retrieval) separates true
+    revisits from self-similar streetscape, so verifying several candidates
+    per keyframe in one batched launch both raises recall (the best-cosine
+    candidate can fail geometry while #2 passes) and keeps the device hot
+    (VERDICT r3 task #7 "batch loop verification over candidates")."""
+    sim = db.gdesc @ entry.gdesc  # (N,)
+    eligible = db.valid & (db.frame <= entry.frame - min_frame_gap)
+    sim = jnp.where(eligible, sim, -jnp.inf)
+    top_sim, top_idx = jax.lax.top_k(sim, k)
+    return LoopCandidates(
+        idx=top_idx.astype(jnp.int32),
+        similarity=top_sim,
+        found=top_sim >= min_similarity,
+    )
+
+
 class LoopConstraint(NamedTuple):
     rel: jnp.ndarray  # (4, 4) measured old_S_new (SIMILARITY: scale = det^1/3)
     num_inliers: jnp.ndarray  # () int32

@@ -148,8 +148,21 @@ def _match_track(
     sift.py:23-53 + the Matches identity carry-over, matches.py:113-212).
 
     Returns (TrackResult, match_idx (K,), used (C,) detections consumed)."""
+    # Spatial pre-gate: consecutive frames move at most max_move_px, so only
+    # detections inside that window are plausible continuations of a track.
+    # Gating BEFORE the ratio test matters — on repetitive facade texture the
+    # global top-2 are lookalikes from elsewhere in the image and the ratio
+    # kills true matches (measured: harris mode tracked ~55 slots/frame and
+    # starved at ~20 landmarks by frame 40; with the gate it tracks the same
+    # regime as KLT). Same mechanism as loop verification's search_radius_px
+    # gate (models/keyframe_db.py verify_loop).
+    near = (
+        jnp.sum((slot_xy[:, None, :] - det.xy[None, :, :]) ** 2, axis=-1)
+        <= max_move_px**2
+    )
     m = match_descriptors(
-        slot_desc, det.desc, valid1=slot_live, valid2=det.valid, ratio=ratio
+        slot_desc, det.desc, valid1=slot_live, valid2=det.valid, ratio=ratio,
+        pair_valid=near,
     )
     c = det.xy.shape[0]
     safe = jnp.clip(m.idx, 0, c - 1)

@@ -231,7 +231,13 @@ def seqpar_ba_refine(
             )
 
         err1 = _masked_err(refined, K_, psum)
-        accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02)
+        # Same explicit-finiteness veto as ba_refine (depth_ok masks a NaN
+        # keyframe's residuals out of err1); reduced over all blocks.
+        finite_ok = psum(
+            (~jnp.isfinite(refined.kf_pose)).sum()
+            + (refined.lm_valid[:, None] & ~jnp.isfinite(refined.landmark)).sum()
+        ) == 0
+        accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02) & finite_ok
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), refined, win
         )

@@ -125,7 +125,14 @@ class BAConfig:
 
     enabled: bool = True
     window: int = 6  # keyframes in the window
-    keyframe_every: int = 3  # frames between keyframes (mode "every")
+    # Frames between keyframes (mode "every"). The r4 sweep on the 600-frame
+    # headline (TPU v5e, EVAL.md "BA window/cadence sweep") measured
+    # every=2 strictly better than the old default 3 on ALL accuracy
+    # metrics (ATE 1.18 vs 1.45 m, RPE 0.0215 vs 0.0298 m, rot 0.051 vs
+    # 0.075 deg) for ~20% fps — a denser window span samples turns better;
+    # window 8 and 8+every2 were both worse (over-wide span weakens the
+    # fixed-scale gauge).
+    keyframe_every: int = 2
     # Keyframe policy. "every": fixed cadence (the validated default —
     # ATE 0.78 m on the 600-frame headline run; see EVAL.md).
     # "adaptive": motion/covisibility-gated selection — push when the
