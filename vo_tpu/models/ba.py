@@ -339,9 +339,16 @@ def ba_refine(
     # err1 (observed: SIFT-mode NaN poses shipped through an "accepting"
     # gate every keyframe frame). Require explicit finiteness of the poses
     # and of every landmark the window still considers valid.
-    finite_ok = jnp.isfinite(refined.kf_pose).all() & jnp.where(
-        refined.lm_valid[:, None], jnp.isfinite(refined.landmark), True
-    ).all()
+    # The landmark rows may be SHARDED under shard_map (dist_ba): fold the
+    # per-shard finite check through reduce_fn so the accept predicate stays
+    # replication-invariant — a raw .all() over a varying array would make
+    # kf_pose's out_spec P() uninferable (jax 0.9 VMA check).
+    rsum = reduce_fn if reduce_fn is not None else (lambda x: x)
+    bad = rsum(
+        (~jnp.isfinite(refined.kf_pose)).sum()
+        + (refined.lm_valid[:, None] & ~jnp.isfinite(refined.landmark)).sum()
+    )
+    finite_ok = bad == 0
     accept = jnp.isfinite(err1) & (err1 <= err0 * 1.02) & finite_ok
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), refined, window
