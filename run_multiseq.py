@@ -68,8 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--no-pallas", action="store_true",
                    help="route detection/LK through the XLA op chain "
                         "instead of the Pallas kernels (fault isolation)")
-    p.add_argument("--full-lanes", type=int, default=0,
-                   help="limit --full to the first N lanes (0 = all)")
+    p.add_argument("--full-lanes", type=str, default="",
+                   help="limit --full to N lanes (int) or a comma-separated "
+                        "lane-name list (e.g. city_lr,stopgo); empty = all")
     return p.parse_args(argv)
 
 
@@ -148,7 +149,13 @@ def run_full(args):
         )
     names = list(specs)
     if args.full_lanes:
-        names = names[: args.full_lanes]
+        if args.full_lanes.isdigit():
+            names = names[: int(args.full_lanes)]
+        else:
+            want = args.full_lanes.split(",")
+            unknown = [w for w in want if w not in specs]
+            assert not unknown, f"unknown lanes {unknown}; have {names}"
+            names = want
     stacks, states, gts = [], [], []
     for i, name in enumerate(names):
         root = os.path.join(args.full_root, name)

@@ -465,6 +465,14 @@ def vo_step(
     else:
         pose_fb = pose_cv
     pose = jnp.where(pose_ok, pose_pnp, pose_fb)
+    # Last-resort fail-safe: if EVERY tier produced a non-finite pose (seen
+    # in harris mode when exponential scale drift overflows f32 near the
+    # end of a long bad run), hold the previous pose instead of latching
+    # NaN into the carry — a frozen-but-finite trajectory keeps metrics,
+    # viz and checkpointing well-defined, and recovery can still re-seed.
+    pose_finite = jnp.isfinite(pose).all()
+    pose = jnp.where(pose_finite, pose, state.pose)
+    pose_ok = pose_ok & pose_finite
     pose_flat = pose.reshape(16)
     T_cw = pose_inverse(pose)
 
