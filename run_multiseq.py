@@ -150,9 +150,12 @@ def run_full(args):
     names = list(specs)
     if args.full_lanes:
         if args.full_lanes.isdigit():
-            names = names[: int(args.full_lanes)]
+            # 0 keeps the historical meaning "all lanes" (matches the old
+            # int-default behaviour) rather than slicing names[:0].
+            if int(args.full_lanes) > 0:
+                names = names[: int(args.full_lanes)]
         else:
-            want = args.full_lanes.split(",")
+            want = [w.strip() for w in args.full_lanes.split(",") if w.strip()]
             unknown = [w for w in want if w not in specs]
             assert not unknown, f"unknown lanes {unknown}; have {names}"
             names = want

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from vo_tpu.geom.lie import se3_exp
 from vo_tpu.geom.points import skew, to_homogeneous
+from vo_tpu.ops.linalg import spd_solve_small
 from vo_tpu.ops.ransac import RansacResult, num_iterations, ransac
 
 
@@ -411,13 +412,14 @@ def refine_pose_gn(
         Jw = J * w[..., None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J) + damping * jnp.eye(6, dtype=T.dtype)
         g = jnp.einsum("nij,ni->j", Jw, r)
-        # H is SPD (J^T W J + damping). Measured at deployment shape
-        # (tools/bench_solvers.py, TPU v5e): for this SINGLE 6x6 system the
-        # unrolled-Cholesky spd_solve_small is ~1.25x SLOWER than the LU
-        # lowering (its long scalar sqrt/div dependency chain dominates a
-        # lone tiny system), unlike the blocked 6Wx6W Schur solve in
-        # models/ba.py where the block-Cholesky wins 2.6x. Keep LU here.
-        delta = jnp.linalg.solve(H, (-g)[..., None])[..., 0]
+        # H is SPD (J^T W J + damping); solve with the unrolled Cholesky in
+        # f32 (ops/linalg.py, precision='highest'). The LU lowering of
+        # jnp.linalg.solve is ~1.25x faster for this lone 6x6 system
+        # (tools/bench_solvers.py) but runs bf16-pass matmuls on TPU and
+        # regresses headline ATE 1.181 -> 1.753 m (48%) for a measured
+        # +1.9% fps — the same bf16-pivot failure class ops/linalg.py was
+        # written to avoid. Accuracy wins: keep spd_solve_small.
+        delta = spd_solve_small(H, -g, 6)
         ok = jnp.isfinite(delta).all()
         delta = jnp.where(ok, delta, jnp.zeros_like(delta))
         return se3_exp(delta) @ T, None

@@ -134,7 +134,8 @@ class BAConfig:
     # fixed-scale gauge).
     keyframe_every: int = 2
     # Keyframe policy. "every": fixed cadence (the validated default —
-    # ATE 0.78 m on the 600-frame headline run; see EVAL.md).
+    # ATE 1.18 m on the 600-frame headline run; see EVAL.md. The older
+    # "0.78 m" figure was a r2 gather-artifact, root-caused in r4).
     # "adaptive": motion/covisibility-gated selection — push when the
     # baseline since the last keyframe is significant relative to scene
     # depth, the camera has rotated, or map overlap with the newest
