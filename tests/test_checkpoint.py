@@ -50,3 +50,36 @@ def test_checkpoint_preserves_tracker_mode(tmp_path):
     state2, cfg2, _, _ = load_checkpoint(path)
     assert cfg2.tracker == "harris"
     assert state2.table.desc.shape == state.table.desc.shape
+
+
+def test_checkpoint_preserves_nondefault_dist_and_recovery(tmp_path):
+    """r4 bug (VERDICT weak #4): _cfg_from_dict hand-enumerated the VOConfig
+    fields and silently dropped `dist` and `recovery` — resuming a
+    distorted-lens run zeroed the Brown-Conrady model mid-sequence. The
+    rebuild is now introspective; every field must round-trip."""
+    import dataclasses
+
+    from vo_tpu.utils.config import RecoveryConfig
+
+    seq = Sequence("kitti", path=DATA_ROOT, kitti_sequence="05")
+    cfg = VOConfig(
+        capacity=256,
+        dist=(-0.28, 0.08, 0.001, -0.002, 0.01),
+        recovery=RecoveryConfig(enabled=False, min_inliers=17),
+    )
+    K = jnp.asarray(seq.K)
+    imgs = [jnp.asarray(seq.get_frame(i)) for i in range(3)]
+    state, _ = bootstrap(imgs[0], imgs[2], K, cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "d.npz")
+    save_checkpoint(path, state, cfg)
+    _, cfg2, _, _ = load_checkpoint(path)
+
+    assert cfg2.dist == cfg.dist, "lens model must survive resume"
+    assert cfg2.recovery == cfg.recovery, "recovery tuning must survive resume"
+    assert cfg2 == cfg  # every field, not just the two that regressed
+    # hashability (static jit arg) requires the tuple stays a tuple
+    hash(cfg2)
+    assert not any(
+        dataclasses.asdict(cfg2)[f] != dataclasses.asdict(cfg)[f]
+        for f in ("detector", "klt", "pnp", "ba")
+    )

@@ -23,17 +23,7 @@ import jax.numpy as jnp
 from vo_tpu.models.ba import BAWindow
 from vo_tpu.models.feature_table import FeatureTable
 from vo_tpu.models.pipeline import VOState
-from vo_tpu.utils.config import (
-    BAConfig,
-    BootstrapConfig,
-    DescriptorConfig,
-    DetectorConfig,
-    KLTConfig,
-    PnPConfig,
-    SiftConfig,
-    TriangulationConfig,
-    VOConfig,
-)
+from vo_tpu.utils.config import VOConfig
 
 
 # Format history (ADVICE r2: positional leaf_{i} keys with no version made
@@ -190,15 +180,36 @@ def _cfg_to_dict(cfg: VOConfig) -> dict:
 
 
 def _cfg_from_dict(d: dict) -> VOConfig:
-    return VOConfig(
-        capacity=d["capacity"],
-        tracker=d["tracker"],
-        detector=DetectorConfig(**d["detector"]),
-        klt=KLTConfig(**d["klt"]),
-        descriptor=DescriptorConfig(**d["descriptor"]),
-        sift=SiftConfig(**d["sift"]),
-        bootstrap=BootstrapConfig(**d["bootstrap"]),
-        pnp=PnPConfig(**d["pnp"]),
-        triangulation=TriangulationConfig(**d["triangulation"]),
-        ba=BAConfig(**d["ba"]),
-    )
+    """Rebuild VOConfig from its asdict()/JSON form by dataclass
+    introspection, so every field — present and future — round-trips.
+
+    The r4 version hand-enumerated the fields and silently dropped `dist`
+    and `recovery`: resuming a distorted-lens run zeroed the Brown-Conrady
+    model mid-sequence and reset recovery tuning. Introspection makes that
+    class of bug structurally impossible; a field added to VOConfig later
+    is carried automatically (and a field missing from an OLD checkpoint
+    keeps its current default rather than raising).
+    """
+    import typing
+
+    hints = typing.get_type_hints(VOConfig)
+    kw = {}
+    for f in dataclasses.fields(VOConfig):
+        if f.name not in d:
+            continue  # older checkpoint: keep this version's default
+        v = d[f.name]
+        t = hints[f.name]
+        if dataclasses.is_dataclass(t):
+            known = {g.name for g in dataclasses.fields(t)}
+            kw[f.name] = t(
+                **{
+                    k: (tuple(x) if isinstance(x, list) else x)
+                    for k, x in v.items()
+                    if k in known
+                }
+            )
+        elif t is tuple or isinstance(f.default, tuple):
+            kw[f.name] = tuple(v)  # JSON stores tuples as lists
+        else:
+            kw[f.name] = v
+    return VOConfig(**kw)
