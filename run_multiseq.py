@@ -68,6 +68,17 @@ def parse_args(argv=None):
     p.add_argument("--no-pallas", action="store_true",
                    help="route detection/LK through the XLA op chain "
                         "instead of the Pallas kernels (fault isolation)")
+    p.add_argument("--seqpar-shards", type=int, default=0,
+                   help="deploy the sequence-parallel composed-window BA "
+                        "inside a real rollout: W_eff = 4*shards keyframes "
+                        "pushed by the pipeline (refine_in_step=False), "
+                        "refined by seqpar_ba_refine sharded over this many "
+                        "virtual CPU devices between rollout chunks, "
+                        "refined poses/landmarks handed back to the "
+                        "front-end. Reports ATE with vs without the "
+                        "composed-window backend.")
+    p.add_argument("--seqpar-steps", type=int, default=150,
+                   help="rollout frames for --seqpar-shards (CPU-bound)")
     p.add_argument("--full-lanes", type=str, default="",
                    help="limit --full to N lanes (int) or a comma-separated "
                         "lane-name list (e.g. city_lr,stopgo); empty = all")
@@ -256,6 +267,131 @@ def run_full(args):
     return 0
 
 
+def run_seqpar(args):
+    """Deploy sequence-parallel composed-window BA inside a REAL rollout
+    (VERDICT r4 task #4c: not a fixture — the pipeline pushes keyframes,
+    the sharded backend refines them, the front-end consumes the result).
+
+    The pipeline runs with ba.refine_in_step=False and a composed window of
+    W_eff = 4 * shards keyframes: per-device memory holds only the obs
+    arrays of its block in the target deployment, and the refinement runs
+    as seqpar_ba_refine over the mesh between rollout chunks. Refined
+    keyframe poses and landmarks are handed back to the front-end (rigid
+    delta of the newest keyframe applied to the live pose, landmark rows by
+    uid — the same write-back vo_step's in-step BA does). Reports ATE of
+    the backend-refined run vs the same rollout with no refinement at all.
+    """
+    import os
+    import sys
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.seqpar_shards}"
+        ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from vo_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vo_tpu.data import Sequence, ate_rmse
+    from vo_tpu.data.evaluate import positions_from_poses
+    from vo_tpu.geom.lie import pose_inverse
+    from vo_tpu.models.feature_table import STATE_TRIANGULATED
+    from vo_tpu.models.pipeline import bootstrap, vo_rollout
+    from vo_tpu.parallel.mesh import make_mesh
+    from vo_tpu.parallel.window_blocks import (
+        seqpar_ba_refine,
+        shard_window_blocks,
+    )
+    from vo_tpu.utils.config import BAConfig, VOConfig
+
+    shards = args.seqpar_shards
+    assert len(jax.devices()) >= shards, (len(jax.devices()), shards)
+    W_eff = 4 * shards
+    mesh = make_mesh(n_data=1, n_model=shards)
+
+    seq = Sequence("synthetic", path="./data")
+    n = min(args.seqpar_steps, len(seq))
+    imgs = np.stack([np.asarray(seq.get_frame(i)) for i in range(n)])
+    K = jnp.asarray(seq.K)
+    cfg = VOConfig(
+        capacity=args.capacity,
+        ba=BAConfig(window=W_eff, refine_in_step=False),
+    )
+
+    CHUNK = 16
+
+    def rollout(refine: bool):
+        state, _ = bootstrap(
+            jnp.asarray(imgs[0]), jnp.asarray(imgs[2]), K, cfg,
+            jax.random.PRNGKey(2023),
+        )
+        poses = []
+        for c in range(3, n, CHUNK):
+            block = jnp.asarray(imgs[c:c + CHUNK])
+            state, outs = vo_rollout(state, block, K, cfg)
+            poses.append(np.asarray(outs.pose))
+            if refine and bool(state.window.kf_valid[-1]):
+                old_last = state.window.kf_pose[-1].reshape(4, 4)
+                refined, _ = seqpar_ba_refine(
+                    mesh, shard_window_blocks(state.window, mesh), K,
+                    iters=cfg.ba.iters, damping=cfg.ba.damping,
+                    huber_px=cfg.ba.huber_px,
+                )
+                refined = jax.tree.map(
+                    lambda x: jnp.asarray(jax.device_get(x)), refined
+                )
+                tbl = state.table
+                match = (
+                    (refined.lm_uid == tbl.uid)
+                    & refined.lm_valid
+                    & (tbl.state == STATE_TRIANGULATED)
+                )
+                tbl = tbl._replace(
+                    landmark=jnp.where(
+                        match[:, None], refined.landmark, tbl.landmark
+                    )
+                )
+                # Rigid handoff: apply the newest keyframe's correction to
+                # the live pose (frontend consumes the backend's estimate).
+                new_last = refined.kf_pose[-1].reshape(4, 4)
+                delta = new_last @ pose_inverse(old_last)
+                state = state._replace(
+                    table=tbl, window=refined, pose=delta @ state.pose
+                )
+        est = np.concatenate(
+            [np.stack([np.eye(4, dtype=np.float32)]), np.concatenate(poses)]
+        )
+        gt_idx = [0] + list(range(3, 3 + est.shape[0] - 1))
+        gt = seq.gt_poses[gt_idx]
+        return float(
+            ate_rmse(positions_from_poses(est), positions_from_poses(gt))
+        ), bool(np.isfinite(est).all())
+
+    ate_plain, fin_plain = rollout(refine=False)
+    ate_seqpar, fin_seqpar = rollout(refine=True)
+    report = {
+        "metric": "seqpar_window_rollout",
+        "shards": shards,
+        "window_effective": W_eff,
+        "frames": int(n),
+        "ate_no_refine_m": round(ate_plain, 3),
+        "ate_seqpar_m": round(ate_seqpar, 3),
+        "finite": bool(fin_plain and fin_seqpar),
+        "improvement_x": round(ate_plain / max(ate_seqpar, 1e-9), 2),
+    }
+    print(json.dumps(report))
+    return 0 if (fin_plain and fin_seqpar and ate_seqpar < ate_plain) else 1
+
+
 def run_multihost(args):
     """Weak-scaling harness: for each process count P, spawn P workers
     joined through a jax.distributed coordinator, each worker driving
@@ -356,6 +492,8 @@ def main(argv=None):
         return run_multihost(args)
     if args.full:
         return run_full(args)
+    if args.seqpar_shards:
+        return run_seqpar(args)
 
     import jax
 

@@ -101,3 +101,22 @@ def test_two_process_weak_scaling_efficiency():
     )
     effs = {row["processes"]: row["weak_scaling_eff"] for row in table["rows"]}
     assert effs[2] >= 0.8, table
+
+
+def test_cross_process_seqpar_composed_window_ba():
+    """Sequence-parallel composed-window BA over a REAL cluster: keyframe
+    blocks span PROCESSES (W_eff = 4 x 2 at per-process W=4 obs memory),
+    landmark reductions psum and Schur fill-in all_gathers over the
+    cross-process backend — parity vs the single-device solver on the same
+    composed window (VERDICT r4 task #4b: 'the window grows with hosts'
+    demonstrated cross-process, not just on the in-process virtual mesh)."""
+    procs, outs = _spawn_cluster(2, extra=("--seqpar-ba",))
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"seqpar-BA worker failed:\n{so}\n{se}"
+    report = json.loads(
+        [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["devices_global"] == 2
+    assert report["window_effective"] == 8
+    assert report["match_errs"] and report["match_pose"]
+    assert report["improved"]

@@ -113,3 +113,19 @@ def test_describe_at_given_points_is_stable(rng):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
     norms = np.linalg.norm(np.asarray(d1), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_detect_subpixel_localization(rng):
+    """Planted blobs at known fractional centers must be localized well below
+    the octave-grid quantization (r4: integer octave coords -> +-2 px at
+    octave 2, which fed straight into PnP as tracked positions)."""
+    img, centers = _blob_image(rng, n=10, r_range=(3.0, 5.0))
+    kp = sift_detect(jnp.asarray(img), 64)
+    xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    d = np.linalg.norm(xy[None, :, :] - centers[:, None, :], axis=-1).min(axis=1)
+    found = d < 2.0
+    assert found.mean() > 0.5
+    # Mean localization error of found blobs: subpixel, i.e. clearly better
+    # than the 0.5 px floor of integer level-0 coords (and the 1-2 px floor
+    # of integer octave-1/2 coords where most of these scales live).
+    assert d[found].mean() < 0.45, d[found]

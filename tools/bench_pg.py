@@ -59,8 +59,8 @@ def main() -> int:
         )
         cur = cur @ jnp.asarray(noisy)
         g = add_node(g, cur, k)
-    for e in range(16):  # loop edges spread around the circuit
-        i, j = (e * n) // 20, min((e * n) // 20 + n // 2, n - 1)
+    for e in range(32):  # loop edges spread around the circuit (BASELINE
+        i, j = (e * n) // 40, min((e * n) // 40 + n // 2, n - 1)  # configs[4])
         g = add_loop_edge(g, jnp.int32(i), jnp.int32(j), jnp.eye(4))
 
     # Compile + warm.
@@ -74,16 +74,36 @@ def main() -> int:
     jax.block_until_ready(out.node_pose)
     t_run = time.perf_counter() - t0
 
-    print(json.dumps({
+    rec = {
         "metric": "pg_optimize_wall",
         "nodes": n,
+        "loop_edges": 32,
         "iters": args.iters,
         "device": str(jax.devices()[0]),
         "compile_s": round(t_compile, 2),
         "post_compile_s": round(t_run, 3),
         "err0": float(errs[0]),
         "err_last": float(errs[-1]),
-    }))
+    }
+
+    # Edge-sharded optimizer on the same graph (collective overhead). Needs
+    # >1 device: run under XLA_FLAGS=--xla_force_host_platform_device_count=N
+    # --platform cpu for the virtual mesh, or on a real pod slice.
+    if len(jax.devices()) > 1:
+        from vo_tpu.parallel.dist_pg import distributed_pg_optimize
+        from vo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_model=len(jax.devices()))
+        dout, derrs = distributed_pg_optimize(mesh, g, iters=args.iters)
+        jax.block_until_ready(dout.node_pose)
+        t0 = time.perf_counter()
+        dout, derrs = distributed_pg_optimize(mesh, g, iters=args.iters)
+        jax.block_until_ready(dout.node_pose)
+        rec["dist_post_compile_s"] = round(time.perf_counter() - t0, 3)
+        rec["dist_devices"] = len(jax.devices())
+        rec["dist_err_last"] = float(derrs[-1])
+
+    print(json.dumps(rec))
     return 0
 
 

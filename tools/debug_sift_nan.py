@@ -70,11 +70,18 @@ def main() -> int:
         wlv = np.asarray(state.window.lm_valid)
         wlm_nan = int((~np.isfinite(wlm).all(-1) & wlv).sum())
         flag = "" if (pose_f and win_f and lm_nan == 0 and wlm_nan == 0) else "  <-- NONFINITE"
+        # scale telemetry (r4 harris tail: exponential scale drift overflows
+        # f32 near frame 586 — watch |t| and landmark depth grow)
+        tnorm = float(np.linalg.norm(np.asarray(out.pose)[:3, 3]))
+        live = st == 2
+        depth = float(np.nanmedian(np.abs(lm[live, 2]))) if live.any() else 0.0
         print(
             f"f{i:3d} ok={int(np.asarray(out.pose_ok))} "
+            f"trk={int(out.num_tracked):4d} cand={int(out.num_candidates):4d} "
             f"inl={int(out.num_pnp_inliers):4d} tri={int(out.num_triangulated):4d} "
             f"pose_fin={int(pose_f)} win_fin={int(win_f)} "
-            f"tbl_lm_nan={lm_nan:3d} win_lm_nan={wlm_nan:3d}{flag}",
+            f"tbl_lm_nan={lm_nan:3d} win_lm_nan={wlm_nan:3d} "
+            f"|t|={tnorm:.3e} med_depth={depth:.3e}{flag}",
             flush=True,
         )
         if not pose_f:

@@ -48,7 +48,7 @@ from vo_tpu.ops.epipolar import (
     relative_pose_from_essential,
 )
 from vo_tpu.ops.descriptors import extract_patches, match_descriptors
-from vo_tpu.ops.harris import detect_keypoints
+from vo_tpu.ops.harris import detect_keypoints, refine_corners_subpixel
 from vo_tpu.ops.image import build_pyramid
 from vo_tpu.ops.klt import TrackResult, pyramidal_lk
 from vo_tpu.ops.sift import sift_describe, sift_detect
@@ -74,6 +74,12 @@ class VOState(NamedTuple):
     # lanes need adaptive while constant-speed lanes prefer fixed cadence
     # (EVAL.md multiseq table). Initialized from cfg.ba.keyframe_mode.
     kf_adaptive: jnp.ndarray
+    # () f32 — translation magnitude of the last VALIDATED (pose_ok) step.
+    # All fallback tiers pin their scale to this instead of to the previous
+    # step's motion: a chain of fallbacks can then never compound its own
+    # scale (the r4 harris tail: |t| grew ~1.1x/frame through a long
+    # outage until f32 overflow at frame ~580 — VERDICT r4 weak #7).
+    last_speed: jnp.ndarray
 
 
 class StepOutput(NamedTuple):
@@ -84,6 +90,11 @@ class StepOutput(NamedTuple):
     num_candidates: jnp.ndarray
     num_pnp_inliers: jnp.ndarray
     num_new_landmarks: jnp.ndarray
+    # () bool — the last-resort fail-safe latched: every pose tier came out
+    # non-finite and the previous pose was held. Distinct from ordinary
+    # pose_ok=False fallback so a frozen trajectory tail can never
+    # masquerade as tracking in stats (VERDICT r4 weak #7).
+    frozen: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
@@ -92,11 +103,14 @@ class StepOutput(NamedTuple):
 
 def _detect(image: jnp.ndarray, cfg: VOConfig, num: int):
     d = cfg.detector
-    mode = "harris" if (d.method == "harris" or cfg.tracker == "harris") else "shi_tomasi"
+    harris = d.method == "harris" or cfg.tracker == "harris"
     return detect_keypoints(
-        image, num, mode=mode, patch_size=d.patch_size, kappa=d.kappa,
-        nms_radius=d.nms_radius, border=d.border,
-        quality_level=d.quality_level, use_pallas=d.use_pallas,
+        image, num, mode="harris" if harris else "shi_tomasi",
+        patch_size=d.patch_size, kappa=d.kappa,
+        nms_radius=d.harris_nms_radius if harris else d.nms_radius,
+        border=d.border,
+        quality_level=d.harris_quality_level if harris else d.quality_level,
+        use_pallas=d.use_pallas,
     )
 
 
@@ -125,8 +139,13 @@ def _detect_mode(image: jnp.ndarray, cfg: VOConfig) -> Detections:
     det = _detect(image, cfg, c)
     zeros = jnp.zeros((c,), jnp.float32)
     if cfg.tracker == "harris":
-        desc = extract_patches(image, det.xy, cfg.descriptor.radius, normalize=True)
-        return Detections(det.xy, det.score, det.valid, zeros, desc)
+        # Matched detections ARE the tracked positions in this mode, so
+        # integer NMS grid positions would feed +-0.5 px quantization into
+        # PnP at every frame (KLT gets subpixel from LK instead).
+        xy = refine_corners_subpixel(image, det.xy, radius=4, iters=2)
+        xy = jnp.where(det.valid[:, None], xy, det.xy)
+        desc = extract_patches(image, xy, cfg.descriptor.radius, normalize=True)
+        return Detections(xy, det.score, det.valid, zeros, desc)
     return Detections(det.xy, det.score, det.valid, zeros, jnp.zeros((c, 1), jnp.float32))
 
 
@@ -303,6 +322,10 @@ def bootstrap(
         window=window,
         last_kf_idx=jnp.asarray(cfg.bootstrap.frame_gap, jnp.int32),
         kf_adaptive=jnp.asarray(cfg.ba.keyframe_mode == "adaptive"),
+        # Unit-baseline convention: the bootstrap pair moves |t|=1 over
+        # frame_gap frames, so one frame's validated speed starts there.
+        last_speed=jnp.linalg.norm(pose1[:3, 3])
+        / jnp.asarray(float(max(cfg.bootstrap.frame_gap, 1))),
     )
     n3 = good3d.sum()
     out = StepOutput(
@@ -313,6 +336,7 @@ def bootstrap(
         num_candidates=(state == STATE_MATCHED).sum(),
         num_pnp_inliers=res.num_inliers,
         num_new_landmarks=n3,
+        frozen=jnp.asarray(False),
     )
     return vo_state, out
 
@@ -435,7 +459,15 @@ def vo_step(
     pose_pnp = pose_inverse(pnp.T_cw)  # update_with_world_pose (state.py:37-45)
     # Fallback tier 1: constant-velocity model (the reference would
     # assert-crash, p3p.py:153; we keep going and flag pose_ok=False).
-    pose_cv = state.pose @ rel_cv
+    # The translation magnitude is PINNED to the last validated speed
+    # (state.last_speed), not to |rel_cv|: during a chain of fallbacks
+    # rel_cv is itself fallback output, and borrowing its scale lets errors
+    # compound exponentially (r4 harris tail: ~1.1x/frame to f32 overflow).
+    t_cv = rel_cv[:3, 3]
+    n_cv = jnp.linalg.norm(t_cv)
+    t_pin = t_cv * (state.last_speed / jnp.maximum(n_cv, 1e-12))
+    rel_pinned = rel_cv.at[:3, 3].set(jnp.where(n_cv > 1e-12, t_pin, t_cv))
+    pose_cv = state.pose @ rel_pinned
     if cfg.recovery.enabled:
         # Fallback tier 2 (preferred): visual relative pose from this
         # frame's 2D-2D tracks. Rotation comes from the imagery (E-matrix),
@@ -453,7 +485,8 @@ def vo_step(
             rp = relative_pose_from_essential(
                 E, prev_xy_u, xy_u, K, K, weight=res.inliers
             )
-            speed = jnp.linalg.norm(rel_cv[:3, 3])
+            # Scale from the last VALIDATED step, same pinning as tier 1.
+            speed = state.last_speed
             T21 = rp.T_21.at[:3, 3].set(rp.T_21[:3, 3] * speed)
             pose_vis = state.pose @ pose_inverse(T21)
             ok = (res.num_inliers >= cfg.recovery.min_inliers) & jnp.isfinite(
@@ -471,6 +504,7 @@ def vo_step(
     # NaN into the carry — a frozen-but-finite trajectory keeps metrics,
     # viz and checkpointing well-defined, and recovery can still re-seed.
     pose_finite = jnp.isfinite(pose).all()
+    frozen = ~pose_finite
     pose = jnp.where(pose_finite, pose, state.pose)
     pose_ok = pose_ok & pose_finite
     pose_flat = pose.reshape(16)
@@ -598,18 +632,25 @@ def vo_step(
                 win, p, xy_u, tbl.landmark, tbl.uid,
                 tbl.state == STATE_TRIANGULATED,
             )
-            win, _ = ba_refine(
-                win, K, iters=cfg.ba.iters,
-                damping=cfg.ba.damping, huber_px=cfg.ba.huber_px,
-            )
-            match = (
-                (win.lm_uid == tbl.uid)
-                & win.lm_valid
-                & (tbl.state == STATE_TRIANGULATED)
-            )
-            tbl = tbl._replace(
-                landmark=jnp.where(match[:, None], win.landmark, tbl.landmark)
-            )
+            if cfg.ba.refine_in_step:
+                win, _ = ba_refine(
+                    win, K, iters=cfg.ba.iters,
+                    damping=cfg.ba.damping, huber_px=cfg.ba.huber_px,
+                )
+                match = (
+                    (win.lm_uid == tbl.uid)
+                    & win.lm_valid
+                    & (tbl.state == STATE_TRIANGULATED)
+                )
+                tbl = tbl._replace(
+                    landmark=jnp.where(
+                        match[:, None], win.landmark, tbl.landmark
+                    )
+                )
+            # refine_in_step=False: the push still happens; refinement is
+            # the external seqpar backend's job (run_multiseq
+            # --seqpar-shards refines the composed window over the mesh
+            # between rollout chunks).
             return win, tbl, win.kf_pose[-1].reshape(4, 4), new_frame_idx
 
         window, table, pose, last_kf_idx = jax.lax.cond(
@@ -620,6 +661,13 @@ def vo_step(
         )
     else:
         last_kf_idx = state.last_kf_idx
+
+    # Validated speed for the next step's fallback pinning. Only a pose the
+    # PnP gate accepted may update it; anything else keeps the old pin.
+    speed_now = jnp.linalg.norm((pose_inverse(state.pose) @ pose)[:3, 3])
+    last_speed = jnp.where(
+        pose_ok & jnp.isfinite(speed_now), speed_now, state.last_speed
+    )
 
     new_state = VOState(
         table=table,
@@ -632,6 +680,7 @@ def vo_step(
         window=window,
         last_kf_idx=last_kf_idx,
         kf_adaptive=state.kf_adaptive,
+        last_speed=last_speed,
     )
     out = StepOutput(
         pose=pose,
@@ -641,5 +690,6 @@ def vo_step(
         num_candidates=candidates.sum(),
         num_pnp_inliers=pnp.num_inliers,
         num_new_landmarks=good_new.sum(),
+        frozen=frozen,
     )
     return new_state, out

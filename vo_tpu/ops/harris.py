@@ -173,3 +173,66 @@ def detect_keypoints(
         masked, num_keypoints,
         border=border, min_response=min_response, quality_level=quality_level,
     )
+
+
+def refine_corners_subpixel(
+    image: jnp.ndarray,
+    xy: jnp.ndarray,
+    radius: int = 4,
+    iters: int = 2,
+) -> jnp.ndarray:
+    """Gradient-weighted subpixel corner refinement (cv2.cornerSubPix math).
+
+    For every pixel i in a window around the corner guess q, an edge through
+    i is orthogonal to its gradient g_i, so the true corner satisfies
+    g_i . (q - x_i) = 0. Weighted least squares over the window:
+
+        q = (sum w_i g_i g_i^T)^{-1}  sum w_i (g_i g_i^T) x_i
+
+    iterated `iters` times (the window re-centers on the estimate). The
+    reference reaches this via cv2.cornerSubPix (klt.py:104-110); here it is
+    a vmapped bilinear-gather + one 2x2 solve per keypoint — no loops over
+    keypoints. NMS top-K returns integer pixel positions; without this the
+    matched-detection tracker modes feed +-0.5 px quantization straight
+    into PnP every frame.
+
+    xy: (K, 2). Returns (K, 2) refined positions (clamped to +-radius of
+    the input so a flat/degenerate window cannot eject the corner).
+    """
+    from vo_tpu.ops.image import bilinear_sample, image_gradients
+
+    gx, gy = image_gradients(image.astype(jnp.float32))
+    r = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(r, r, indexing="ij")
+    # cornerSubPix weighting: Gaussian over the window.
+    w = jnp.exp(-(dx * dx + dy * dy) / (2.0 * (0.5 * radius) ** 2))
+
+    def one(q0):
+        def step(q, _):
+            grid = q + jnp.stack([dx, dy], -1)  # (W, W, 2)
+            px = bilinear_sample(gx, grid)
+            py = bilinear_sample(gy, grid)
+            a = w * px * px
+            b = w * px * py
+            c = w * py * py
+            A = jnp.array([[a.sum(), b.sum()], [b.sum(), c.sum()]])
+            # rhs = sum (w g g^T) x_i with x_i the absolute sample position
+            xs = grid[..., 0]
+            ys = grid[..., 1]
+            rhs = jnp.array(
+                [(a * xs + b * ys).sum(), (b * xs + c * ys).sum()]
+            )
+            det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+            ok = jnp.abs(det) > 1e-8
+            inv = (
+                jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]])
+                / jnp.where(ok, det, 1.0)
+            )
+            q_new = inv @ rhs
+            q_new = jnp.where(ok, q_new, q)
+            return q_new, None
+
+        q, _ = lax.scan(step, q0, None, length=iters)
+        return jnp.clip(q, q0 - radius, q0 + radius)
+
+    return jax.vmap(one)(xy.astype(jnp.float32))

@@ -155,10 +155,41 @@ def sift_detect(
         rem = idx % (h * w)
         yy = (rem // w).astype(jnp.float32)
         xx = (rem % w).astype(jnp.float32)
+
+        # Quadratic spatial subpixel refinement (Lowe §4). Without it the
+        # keypoint sits on the OCTAVE grid: quantization is ±0.5*2^o level-0
+        # pixels (±2 px at octave 2), and since matched detections ARE the
+        # tracked positions feeding PnP, that noise goes straight into every
+        # pose (r4 sift-mode RPE 2.34 m, 100x KLT — VERDICT weak #8).
+        # offset = -H^{-1} g of the DoG surface at the extremum, clamped.
+        c = dog[1:-1]
+        gx_m = 0.5 * (jnp.roll(c, -1, axis=2) - jnp.roll(c, 1, axis=2))
+        gy_m = 0.5 * (jnp.roll(c, -1, axis=1) - jnp.roll(c, 1, axis=1))
+        dxx = jnp.roll(c, -1, axis=2) + jnp.roll(c, 1, axis=2) - 2 * c
+        dyy = jnp.roll(c, -1, axis=1) + jnp.roll(c, 1, axis=1) - 2 * c
+        dxy = 0.25 * (
+            jnp.roll(jnp.roll(c, -1, axis=1), -1, axis=2)
+            + jnp.roll(jnp.roll(c, 1, axis=1), 1, axis=2)
+            - jnp.roll(jnp.roll(c, -1, axis=1), 1, axis=2)
+            - jnp.roll(jnp.roll(c, 1, axis=1), -1, axis=2)
+        )
+        gx = gx_m.reshape(-1)[idx]
+        gy = gy_m.reshape(-1)[idx]
+        hxx = dxx.reshape(-1)[idx]
+        hyy = dyy.reshape(-1)[idx]
+        hxy = dxy.reshape(-1)[idx]
+        det = hxx * hyy - hxy * hxy
+        safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        ox = -(hyy * gx - hxy * gy) / safe_det
+        oy = -(-hxy * gx + hxx * gy) / safe_det
+        ok_off = (jnp.abs(det) > 1e-12) & (jnp.abs(ox) <= 1.0) & (jnp.abs(oy) <= 1.0)
+        ox = jnp.where(ok_off, jnp.clip(ox, -0.5, 0.5), 0.0)
+        oy = jnp.where(ok_off, jnp.clip(oy, -0.5, 0.5), 0.0)
+
         scale_in_oct = _BASE_SIGMA * (2.0 ** ((sidx + 1.0) / scales_per_octave))
         mul = float(2**o)
-        xs.append(xx * mul)
-        ys.append(yy * mul)
+        xs.append((xx + ox) * mul)
+        ys.append((yy + oy) * mul)
         sg.append(scale_in_oct * mul)
         oc.append(jnp.full((k_o,), o, jnp.int32))
         sc.append(jnp.where(valid, top, 0.0))

@@ -92,6 +92,13 @@ def _parse(argv):
                         "PROCESSES and verify it matches the single-device "
                         "solver (SURVEY §5 sequence-parallel analog)")
     p.add_argument("--ba-landmarks-per-device", type=int, default=64)
+    p.add_argument("--seqpar-ba", action="store_true",
+                   help="instead of the rollout, run the KEYFRAME-sharded "
+                        "composed-window BA (the window GROWS with "
+                        "processes: W_eff = 4 per process) over the "
+                        "cross-process mesh and verify parity with the "
+                        "single-device solver on the same composed window "
+                        "(SURVEY §5 north star; parallel/window_blocks.py)")
     return p.parse_args(argv)
 
 
@@ -158,6 +165,75 @@ def _dist_ba_main(args) -> int:
     return 0 if ok else 1
 
 
+def _seqpar_ba_main(args) -> int:
+    """Cross-process sequence-parallel BA: the composed window's KEYFRAME
+    blocks span every process (W_eff = 4 * n_processes at the per-process
+    memory of a 4-keyframe window), landmark normal equations psum over the
+    cross-process backend and the Schur fill-in rides all_gather. Every
+    process deterministically builds the identical composed window and its
+    own single-device reference; the sharded result must match to f32
+    (VERDICT r4 task #4b — this is the capability 'the window grows with
+    hosts' exercised over a REAL jax.distributed cluster, not the
+    in-process virtual mesh)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vo_tpu.models.ba import ba_refine
+    from vo_tpu.parallel.dist_ba import demo_window
+    from vo_tpu.parallel.window_blocks import (
+        seqpar_ba_refine,
+        window_block_specs,
+    )
+
+    pid = args.process_id
+    n_global = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("model",))
+    K = jnp.asarray(
+        np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    )
+    W_eff = 4 * n_global  # the window GROWS with the cluster
+    win = demo_window(args.ba_landmarks_per_device, num_keyframes=W_eff, seed=7)
+
+    def to_global(x, spec):
+        sh = NamedSharding(mesh, spec)
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, sh, lambda i: host[i])
+
+    gwin = jax.tree_util.tree_map(to_global, win, window_block_specs())
+    out, errs = seqpar_ba_refine(mesh, gwin, K, iters=4)
+    ref, ref_errs = ba_refine(win, K, iters=4)
+
+    # Mid-trace errors compare loosely (Huber amplification of f32
+    # reassociation, see __graft_entry__ seqpar stage); poses strictly.
+    ok_errs = np.allclose(np.asarray(errs), np.asarray(ref_errs),
+                          rtol=5e-2, atol=1e-4)
+    pose_local = np.concatenate(
+        [np.asarray(s.data) for s in out.kf_pose.addressable_shards]
+    )
+    idx = np.concatenate(
+        [np.arange(s.index[0].start or 0, s.index[0].stop)
+         for s in out.kf_pose.addressable_shards]
+    )
+    ok_pose = np.allclose(pose_local, np.asarray(ref.kf_pose)[idx],
+                          rtol=1e-3, atol=2e-3)
+    improved = float(ref_errs[-1]) < 0.7 * float(ref_errs[0])
+    ok = bool(ok_errs and ok_pose and improved)
+    if pid == 0:
+        print(json.dumps({
+            "metric": "multihost_seqpar_ba",
+            "num_processes": args.num_processes,
+            "devices_global": n_global,
+            "window_effective": W_eff,
+            "err_first": round(float(ref_errs[0]), 4),
+            "err_last": round(float(ref_errs[-1]), 4),
+            "match_errs": ok_errs, "match_pose": ok_pose,
+            "improved": improved,
+        }), flush=True)
+    return 0 if ok else 1
+
+
 def worker_main(argv=None) -> int:
     args = _parse(argv)
     # Env must be pinned before jax initializes; the launcher normally sets
@@ -171,6 +247,8 @@ def worker_main(argv=None) -> int:
 
     if args.dist_ba:
         return _dist_ba_main(args)
+    if args.seqpar_ba:
+        return _seqpar_ba_main(args)
 
     import jax.numpy as jnp
     import numpy as np

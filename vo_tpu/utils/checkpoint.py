@@ -172,6 +172,7 @@ def _template_state(cfg: VOConfig, pyramid_levels: int) -> VOState:
         window=empty_window(cfg.ba.window, cfg.capacity),
         last_kf_idx=jnp.asarray(0),
         kf_adaptive=jnp.asarray(False),
+        last_speed=jnp.asarray(0.0),
     )
 
 

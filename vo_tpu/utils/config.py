@@ -24,6 +24,14 @@ class DetectorConfig:
     nms_radius: int = 8  # ref klt minDistance=8 / harris nms_radius=5
     border: int = 16
     quality_level: float = 0.01  # ref klt.py:25
+    # Harris-mode overrides (tracker="harris"). The Harris response scales
+    # as gradient^4 while Shi-Tomasi's min-eig scales as gradient^2, so the
+    # 0.01 quality floor calibrated for Shi-Tomasi starves Harris detection
+    # (measured on the headline sequence: 89 corners vs 429 at 2e-4 — the
+    # r4 harris-mode map never exceeded ~35 landmarks and limped at 4-6 PnP
+    # inliers). nms radius 5 matches the reference (harris.py:21).
+    harris_quality_level: float = 2e-4
+    harris_nms_radius: int = 5
     min_dist_to_live: float = 8.0  # suppression radius vs existing tracks
     # Fused Pallas response+NMS kernel: True/False force it, None = auto
     # (use it on TPU, XLA path elsewhere).
@@ -36,7 +44,12 @@ class DescriptorConfig:
 
     radius: int = 9  # (2r+1)^2-pixel patch (ref descriptor_radius=9)
     ratio: float = 0.85  # Lowe ratio (ref match_lambda-era 0.85 / sift 0.8)
-    max_move_px: float = 100.0  # gate on match displacement between frames
+    # Spatial gate on match displacement between consecutive frames. True
+    # flow on the headline sequence is 2-8 px (up to ~20 px during the 90
+    # degree turns); 32 px covers that with margin while excluding the
+    # repetitive-facade lookalikes that pollute the ratio test at 100 px
+    # (measured f150: 391 matches/79% consistent at 32 vs 293/67% at 100).
+    max_move_px: float = 32.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,6 +138,14 @@ class BAConfig:
 
     enabled: bool = True
     window: int = 6  # keyframes in the window
+    # True: ba_refine runs inside vo_step at every keyframe push (the
+    # single-chip deployment). False: keyframes are still pushed and
+    # landmarks written back, but the REFINEMENT is left to an external
+    # backend — the sequence-parallel composed-window deployment
+    # (run_multiseq --seqpar-shards): per-device budget holds only the obs
+    # arrays, and seqpar_ba_refine refines the composed window across the
+    # mesh between rollout chunks (parallel/window_blocks.py).
+    refine_in_step: bool = True
     # Frames between keyframes (mode "every"). The r4 sweep on the 600-frame
     # headline (TPU v5e, EVAL.md "BA window/cadence sweep") measured
     # every=2 strictly better than the old default 3 on ALL accuracy
