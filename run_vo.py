@@ -224,11 +224,14 @@ def main(argv=None):
             dict(frame=i, dt=dt, ok=bool(out.pose_ok),
                  tracked=int(out.num_tracked), tri=int(out.num_triangulated),
                  cand=int(out.num_candidates), inl=int(out.num_pnp_inliers),
-                 new=int(out.num_new_landmarks))
+                 new=int(out.num_new_landmarks), frozen=bool(out.frozen))
         )
         if not args.quiet:
+            tag = "" if bool(out.pose_ok) else (
+                "  [POSE FROZEN]" if bool(out.frozen) else "  [POSE FALLBACK]"
+            )
             print(f"[vo_tpu] frame {i:5d} {fps_meter.text()}  {viz.hud_text(out)}"
-                  + ("" if bool(out.pose_ok) else "  [POSE FALLBACK]"))
+                  + tag)
 
     def maybe_checkpoint(i):
         if args.checkpoint and (i - first_i + 1) % args.checkpoint_every < chunk:
@@ -355,6 +358,11 @@ def main(argv=None):
     # repeated fallback) still reports how far it got instead of crashing.
     finite = np.isfinite(est.reshape(len(est), -1)).all(axis=1)
     n_ok = int(np.argmin(finite)) if not finite.all() else len(est)
+    n_frozen = sum(1 for s in stats if s.get("frozen"))
+    if n_frozen:
+        result["frozen_frames"] = n_frozen
+        print(f"[vo_tpu] WARNING: fail-safe froze the pose on {n_frozen} "
+              f"frame(s) — those frames are NOT tracking")
     if n_ok < len(est):
         result["diverged_at_frame"] = int(frame_ids[n_ok])
         print(f"[vo_tpu] WARNING: pose non-finite from frame {frame_ids[n_ok]}; "

@@ -43,6 +43,14 @@ class FeatureTable(NamedTuple):
     score: jnp.ndarray  # (K,) f32 detector response at birth
     desc: jnp.ndarray  # (K, D) f32 descriptor of the last match (D=1: unused)
     sigma: jnp.ndarray  # (K,) f32 detection scale (SIFT); 0 = base scale
+    # (K,) int32 consecutive frames this slot went unmatched. Opt-in miss
+    # grace (cfg.<mode>.max_miss > 0) coasts a slot instead of freeing it
+    # on its first missed re-detection; coasting slots keep identity but
+    # are excluded from every geometric consumer (stale xy). Defaults are
+    # 0 — measured (r5): coasting+rematch corrupts more tracks than it
+    # saves on both harris and sift (lookalike rematches through the
+    # widened gate). Always 0 in KLT mode.
+    miss: jnp.ndarray
 
     # -- derived masks (ref features.py:89-97) ------------------------------
     @property
@@ -83,6 +91,7 @@ def empty_table(capacity: int, desc_dim: int = 1) -> FeatureTable:
         score=jnp.zeros((capacity,), jnp.float32),
         desc=jnp.zeros((capacity, desc_dim), jnp.float32),
         sigma=jnp.zeros((capacity,), jnp.float32),
+        miss=jnp.zeros((capacity,), jnp.int32),
     )
 
 
@@ -142,11 +151,13 @@ def fill_free_slots(
         det_sigma if det_sigma is not None else jnp.zeros_like(det_score),
         mode="drop",
     )
+    miss = table.miss.at[safe_target].set(0, mode="drop")
     n_added = use.sum()
     return (
         table._replace(
             xy=xy, score=score, state=state, track_xy=track_xy,
             track_pose=track_pose, uid=uid, desc=desc, sigma=sigma,
+            miss=miss,
         ),
         next_uid + n_added,
     )
@@ -183,6 +194,9 @@ def debug_validate(table: FeatureTable) -> list[str]:
     chk(tp.shape == (k, 16), f"track_pose shape {tp.shape} != ({k}, 16)")
     # State domain (features.py:41-43 + empty).
     chk(bool(np.isin(st, [-1, 0, 1, 2]).all()), "state outside {-1,0,1,2}")
+    ms = np.asarray(table.miss)
+    chk(ms.shape == (k,), f"miss shape {ms.shape} != ({k},)")
+    chk(bool((ms >= 0).all()), "negative miss counter")
     live = st >= 0
     # NaN guards (matches.py:82-104): live slots carry finite geometry.
     chk(bool(np.isfinite(xy[live]).all()), "non-finite keypoint on live slot")

@@ -162,6 +162,7 @@ def _match_track(
     det: Detections,
     ratio: float,
     max_move_px: float,
+    move_scale: jnp.ndarray | None = None,  # (K,) per-slot gate multiplier
 ):
     """Frame-to-frame descriptor matching as a tracker (ref harris.py:50-84,
     sift.py:23-53 + the Matches identity carry-over, matches.py:113-212).
@@ -175,9 +176,15 @@ def _match_track(
     # starved at ~20 landmarks by frame 40; with the gate it tracks the same
     # regime as KLT). Same mechanism as loop verification's search_radius_px
     # gate (models/keyframe_db.py verify_loop).
+    # A slot coasting `miss` frames may legitimately have moved further
+    # (miss+1 frames of flow since its last observation) — the caller
+    # passes move_scale = miss+1 so the gate widens with the gap.
+    gate = max_move_px * (
+        move_scale if move_scale is not None else jnp.ones_like(slot_xy[:, 0])
+    )
     near = (
         jnp.sum((slot_xy[:, None, :] - det.xy[None, :, :]) ** 2, axis=-1)
-        <= max_move_px**2
+        <= (gate**2)[:, None]
     )
     m = match_descriptors(
         slot_desc, det.desc, valid1=slot_live, valid2=det.valid, ratio=ratio,
@@ -186,7 +193,7 @@ def _match_track(
     c = det.xy.shape[0]
     safe = jnp.clip(m.idx, 0, c - 1)
     new_xy = det.xy[safe]
-    move_ok = jnp.sum((new_xy - slot_xy) ** 2, axis=-1) <= max_move_px**2
+    move_ok = jnp.sum((new_xy - slot_xy) ** 2, axis=-1) <= gate**2
     status = m.valid & move_ok
     used = jnp.zeros((c,), bool).at[safe].max(status)
     tr = TrackResult(
@@ -426,14 +433,31 @@ def vo_step(
         det = _detect_mode(image, cfg)
         ratio, max_move = _mode_match_params(cfg)
         tr, midx, used = _match_track(
-            table.desc, table.xy, occupied, det, ratio, max_move
+            table.desc, table.xy, occupied, det, ratio, max_move,
+            move_scale=(table.miss + 1).astype(jnp.float32),
         )
+    # Miss grace period: a matched-detection slot survives up to max_miss
+    # consecutive un-redetections (DoG/NMS instability) instead of dying on
+    # the first — but while coasting it is excluded from every geometric
+    # consumer below (its xy is stale). KLT: max_miss=0, identical to the
+    # old behavior (LK either tracks or the slot is gone).
+    if cfg.tracker == "sift":
+        max_miss = cfg.sift.max_miss
+    elif cfg.tracker == "harris":
+        max_miss = cfg.descriptor.max_miss
+    else:
+        max_miss = 0
     tracked = occupied & tr.status
-    st = jnp.where(tracked, table.state, STATE_EMPTY)
+    miss = jnp.where(tracked, 0, table.miss + 1)
+    coast = occupied & ~tr.status & (miss <= max_miss)
+    st = jnp.where(tracked | coast, table.state, STATE_EMPTY)
     # Fresh detections that survived one track become matched candidates
     # (ref matches.py "newly matched" block semantics).
     st = jnp.where(tracked & (st == STATE_UNMATCHED), STATE_MATCHED, st)
-    table = table._replace(xy=tr.xy, state=st)
+    table = table._replace(xy=tr.xy, state=st, miss=miss)
+    # Only slots OBSERVED this frame feed geometry (PnP, candidates,
+    # triangulation, keyframe obs); coasting slots carry identity only.
+    fresh = tracked
     if det is not None:
         # Carry the latest matched descriptor/scale on each slot (equivalent
         # to the reference re-extracting prev-frame descriptors each call).
@@ -448,7 +472,7 @@ def vo_step(
     track_xy_u = _undistort(table.track_xy, K, cfg)
 
     # ---- 2. P3P localization on triangulated slots (main.py:254-259) ----
-    tri = table.state == STATE_TRIANGULATED
+    tri = (table.state == STATE_TRIANGULATED) & fresh
     pnp = pnp_ransac(
         k_pnp, table.landmark, xy_u, K, valid=tri,
         inlier_threshold_px=cfg.pnp.inlier_threshold_px,
@@ -523,7 +547,7 @@ def vo_step(
     table = restart_tracks(table, behind, pose_flat)
 
     # ---- 5. Bearing-angle candidate gate (state.py:135-160) ----
-    cand_mask = table.state == STATE_MATCHED
+    cand_mask = (table.state == STATE_MATCHED) & fresh
     track_pose = table.track_pose.reshape(-1, 4, 4)
     ray_start = _rays_world(track_pose, Kinv, track_xy_u)
     ray_now = _rays_world(pose, Kinv, xy_u)
@@ -630,7 +654,7 @@ def vo_step(
             win, tbl, p, _ = op
             win = push_keyframe(
                 win, p, xy_u, tbl.landmark, tbl.uid,
-                tbl.state == STATE_TRIANGULATED,
+                (tbl.state == STATE_TRIANGULATED) & fresh,
             )
             if cfg.ba.refine_in_step:
                 win, _ = ba_refine(

@@ -50,6 +50,10 @@ class DescriptorConfig:
     # repetitive-facade lookalikes that pollute the ratio test at 100 px
     # (measured f150: 391 matches/79% consistent at 32 vs 293/67% at 100).
     max_move_px: float = 32.0
+    # Same opt-in miss grace period as SiftConfig.max_miss — measured
+    # harmful as a default (see there); 0 keeps the die-on-first-miss
+    # semantics of the reference's Matches model.
+    max_miss: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +65,21 @@ class SiftConfig:
     contrast_threshold: float = 0.02
     edge_ratio: float = 10.0
     ratio: float = 0.8  # ref sift.py:45
-    max_move_px: float = 100.0
+    # Spatial match gate. Tighter wins decisively for DoG features on the
+    # headline sequence (r5 sweep, 150 frames on-chip: ATE 0.115 m /
+    # 116 med PnP inliers at 40 px vs 0.834 m / 72 at 100 px) — DoG
+    # lookalikes at distance pollute the ratio test exactly like the
+    # harris case, and 40 px still covers turn-rate flow (~20 px/frame).
+    max_move_px: float = 40.0
+    # Frames a slot may coast un-redetected before its track is freed
+    # (coasting slots keep identity but are excluded from PnP/triangulation
+    # — their xy is stale). MEASURED HARMFUL as a default (r5): sift
+    # full-length ATE 23.9 m at max_miss=3 vs 15.6 m at 0, and harris
+    # 0.87 m vs 0.55 m through the first turn — the widened rematch gate
+    # admits lookalikes that corrupt track identity, costing more than the
+    # grace saves. Kept as an opt-in knob; 0 = die on first miss (the
+    # reference's Matches semantics).
+    max_miss: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
