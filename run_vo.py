@@ -78,7 +78,13 @@ def parse_args(argv=None):
                    help="pose-graph capacity; older keyframes are culled by "
                         "chain-span score when full")
     p.add_argument("--pg-min-frame-gap", type=int, default=100)
-    p.add_argument("--pg-min-similarity", type=float, default=0.85)
+    # 0.95 measured on the 1169-frame circuit (r5): genuine revisit edges
+    # retrieve at >= 0.978 while the one false candidate that survived
+    # geometric verification (18 inliers, exactly at threshold) retrieved
+    # at 0.925 — and that single false Sim(3) edge bent the corrected
+    # trajectory from 2.07 m to 21.5 m ATE. Retrieval similarity separates
+    # the two populations more cleanly than inlier count here.
+    p.add_argument("--pg-min-similarity", type=float, default=0.95)
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
